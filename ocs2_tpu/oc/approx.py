@@ -1,0 +1,229 @@
+"""Linear-quadratic approximation of the optimal-control problem.
+
+TPU-native analogue of the reference's LinearQuadraticApproximator
+(ocs2_oc/include/ocs2_oc/approximate_model/LinearQuadraticApproximator.h:51:
+approximateIntermediateLQ / approximatePreJumpLQ / approximateFinalLQ) and the
+multiple-shooting transcription (ocs2_oc/multiple_shooting/Transcription.h:44).
+
+Where the reference fans per-node work out over a ThreadPool
+(GaussNewtonDDP.cpp:669, SqpSolver.cpp:358), we ``vmap`` one fused node
+evaluation over the whole horizon: every Jacobian/Hessian of every node is one
+batched XLA computation that tiles onto the MXU.  CppAD code generation
+(ocs2_core/automatic_differentiation/CppAdInterface.h:48) is replaced by
+``jax.jacfwd``/``jax.hessian`` under jit.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.integrate import DiscreteTransition, discretize
+from ..core.types import ScalarQuadraticApproximation, VectorLinearApproximation
+from .problem import OptimalControlProblem
+from .time_discretization import TimeGrid
+
+Array = jax.Array
+
+
+class LQData(NamedTuple):
+    """Per-node LQ approximation over the horizon (the reference's ModelData
+    array, ocs2_core/model_data/ModelData.h — but batched, not a vector of
+    structs).
+
+    cost:      quadratic approx, batched [N+1, ...]; at the terminal node the
+               input-derivative entries are zero.
+    dynamics:  discrete transitions x_{k+1} ~ f + A dx + B du, batched [N, ...]
+               (jump transitions hold the jump-map linearization, B = 0).
+    eq:        state-input equality g(t,x,u) = 0, batched [N, ne] (projectable).
+    state_eq:  state-only equality, batched [N+1, nse].
+    ineq:      state-input inequality h >= 0, batched [N, ni].
+    state_ineq: state-only inequality, batched [N+1, nsi].
+    final_eq:  terminal equality at node N, [nfe].
+    """
+
+    cost: ScalarQuadraticApproximation
+    dynamics: DiscreteTransition
+    eq: Optional[VectorLinearApproximation]
+    state_eq: Optional[VectorLinearApproximation]
+    ineq: Optional[VectorLinearApproximation]
+    state_ineq: Optional[VectorLinearApproximation]
+    final_eq: Optional[VectorLinearApproximation]
+
+
+def quadratize_scalar(fn, x: Array, u: Array) -> ScalarQuadraticApproximation:
+    """Exact second-order expansion of fn(x, u) in (x, u) jointly."""
+    nx = x.shape[0]
+    z = jnp.concatenate([x, u])
+
+    def fz(zz):
+        return fn(zz[:nx], zz[nx:])
+
+    f = fz(z)
+    g = jax.grad(fz)(z)
+    h = jax.jacfwd(jax.grad(fz))(z)
+    return ScalarQuadraticApproximation(
+        f=f,
+        dfdx=g[:nx],
+        dfdu=g[nx:],
+        dfdxx=h[:nx, :nx],
+        dfdux=h[nx:, :nx],
+        dfduu=h[nx:, nx:],
+    )
+
+
+def quadratize_state_scalar(fn, x: Array, nu: int) -> ScalarQuadraticApproximation:
+    f = fn(x)
+    g = jax.grad(fn)(x)
+    h = jax.jacfwd(jax.grad(fn))(x)
+    nx = x.shape[0]
+    dt = x.dtype
+    return ScalarQuadraticApproximation(
+        f=f,
+        dfdx=g,
+        dfdu=jnp.zeros((nu,), dt),
+        dfdxx=h,
+        dfdux=jnp.zeros((nu, nx), dt),
+        dfduu=jnp.zeros((nu, nu), dt),
+    )
+
+
+def linearize_vector(fn, x: Array, u: Optional[Array]) -> VectorLinearApproximation:
+    if u is None:
+        return VectorLinearApproximation(
+            f=fn(x), dfdx=jax.jacfwd(fn)(x), dfdu=None
+        )
+    return VectorLinearApproximation(
+        f=fn(x, u),
+        dfdx=jax.jacfwd(lambda xx: fn(xx, u))(x),
+        dfdu=jax.jacfwd(lambda uu: fn(x, uu))(u),
+    )
+
+
+def node_params(params: Any, grid: TimeGrid, k):
+    """Inject the per-node mode and node index into the (dict) parameter
+    pytree — consumed by mode-switched dynamics (lax.switch) and by
+    augmented-Lagrangian terms gathering their multiplier row."""
+    if isinstance(params, dict):
+        p = dict(params)
+        p["mode"] = grid.modes[k]
+        p["node"] = k
+        return p
+    return params
+
+
+def approximate_lq(
+    problem: OptimalControlProblem,
+    grid: TimeGrid,
+    xs: Array,  # [N+1, nx]
+    us: Array,  # [N, nu]
+    params: Any,
+    method: str = "rk4",
+    substeps: int = 1,
+) -> LQData:
+    """Full-horizon LQ approximation in one vmapped evaluation."""
+    n = grid.num_intervals
+    nu = problem.nu
+
+    def intermediate(k):
+        t = grid.times[k]
+        dt = grid.times[k + 1] - grid.times[k]
+        x = xs[k]
+        u = us[k]
+        p = node_params(params, grid, k)
+        p_next = node_params(params, grid, k + 1)
+
+        # Discrete transition: integration step or jump map, selected by mask.
+        # Both branches are evaluated (vmap-friendly); the jump branch is the
+        # cheap one and XLA masks the blend — no divergent control flow.
+        flow = discretize(lambda tt, xx, uu: problem.dynamics(tt, xx, uu, p),
+                          method, substeps)
+        x_int = flow(t, x, u, dt)
+        a_int = jax.jacfwd(lambda xx: flow(t, xx, u, dt))(x)
+        b_int = jax.jacfwd(lambda uu: flow(t, x, uu, dt))(u)
+        x_jmp = problem.apply_jump(t, x, p_next)
+        a_jmp = jax.jacfwd(lambda xx: problem.apply_jump(t, xx, p_next))(x)
+        m = grid.is_jump[k]
+        dyn = DiscreteTransition(
+            f=(1.0 - m) * x_int + m * x_jmp,
+            dfdx=(1.0 - m) * a_int + m * a_jmp,
+            dfdu=(1.0 - m) * b_int,
+        )
+
+        # Running cost, dt-weighted; pre-jump cost on jump transitions
+        # (reference approximatePreJumpLQ).
+        def cost_fn(xx, uu):
+            run = dt * problem.cost(t, xx, uu, p)
+            if problem.pre_jump_cost_terms:
+                run = run + m * problem.pre_jump_cost(t, xx, p)
+            return run
+
+        cost = quadratize_scalar(cost_fn, x, u)
+
+        eq = (
+            linearize_vector(lambda xx, uu: problem.equality(t, xx, uu, p), x, u)
+            if problem.equality_terms
+            else None
+        )
+        ineq = (
+            linearize_vector(lambda xx, uu: problem.inequality(t, xx, uu, p), x, u)
+            if problem.inequality_terms
+            else None
+        )
+        seq = (
+            linearize_vector(lambda xx: problem.state_equality(t, xx, p), x, None)
+            if problem.state_equality_terms
+            else None
+        )
+        sineq = (
+            linearize_vector(lambda xx: problem.state_inequality(t, xx, p), x, None)
+            if problem.state_inequality_terms
+            else None
+        )
+        return cost, dyn, eq, seq, ineq, sineq
+
+    cost_i, dyn, eq, seq_i, ineq, sineq_i = jax.vmap(intermediate)(jnp.arange(n))
+
+    # Terminal node.
+    tN = grid.times[n]
+    xN = xs[n]
+    pN = node_params(params, grid, n)
+    cost_f = quadratize_state_scalar(lambda xx: problem.final_cost(tN, xx, pN), xN, nu)
+    seq_f = (
+        linearize_vector(lambda xx: problem.state_equality(tN, xx, pN), xN, None)
+        if problem.state_equality_terms
+        else None
+    )
+    sineq_f = (
+        linearize_vector(lambda xx: problem.state_inequality(tN, xx, pN), xN, None)
+        if problem.state_inequality_terms
+        else None
+    )
+    final_eq = (
+        linearize_vector(lambda xx: problem.final_equality(tN, xx, pN), xN, None)
+        if problem.final_equality_terms
+        else None
+    )
+
+    def append_node(batched, last):
+        if batched is None:
+            return None
+        return jax.tree.map(
+            lambda b, l: jnp.concatenate([b, l[None]], axis=0), batched, last,
+            is_leaf=lambda v: v is None,
+        )
+
+    cost = append_node(cost_i, cost_f)
+    state_eq = append_node(seq_i, seq_f)
+    state_ineq = append_node(sineq_i, sineq_f)
+
+    return LQData(
+        cost=cost,
+        dynamics=dyn,
+        eq=eq,
+        state_eq=state_eq,
+        ineq=ineq,
+        state_ineq=state_ineq,
+        final_eq=final_eq,
+    )

@@ -1,0 +1,160 @@
+"""Trajectory evaluation: cost and raw constraint values in one fused pass.
+
+Analogue of the reference's ProblemMetrics / MetricsComputation
+(ocs2_oc/oc_data/ProblemMetrics.h, multiple_shooting/MetricsComputation.h).
+One vmapped sweep produces everything downstream consumers need:
+* merit under any augmented-Lagrangian multipliers (elementwise reduction —
+  no re-evaluation of constraint functions when multipliers change),
+* constraint SSE for convergence tests and PerformanceIndex,
+* dual-ascent multiplier updates.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import penalties as pen
+from .approx import node_params
+from .problem import OptimalControlProblem
+from .time_discretization import TimeGrid
+
+Array = jax.Array
+
+_EQ_PEN = pen.al_quadratic_equality()
+_INEQ_PEN = pen.al_hinge_inequality()
+
+
+class TrajectoryMetrics(NamedTuple):
+    """cost: true total cost (running + jump + final).
+    Constraint value arrays (None when the family is absent):
+      g_eq [N, ne], g_state_eq [N+1, nse], h_ineq [N, ni],
+      h_state_ineq [N+1, nsi], g_final_eq [nfe].
+    """
+
+    cost: Array
+    g_eq: Optional[Array]
+    g_state_eq: Optional[Array]
+    h_ineq: Optional[Array]
+    h_state_ineq: Optional[Array]
+    g_final_eq: Optional[Array]
+
+    @property
+    def eq_sse(self) -> Array:
+        total = jnp.zeros(())
+        for g in (self.g_eq, self.g_state_eq, self.g_final_eq):
+            if g is not None:
+                total = total + jnp.sum(jnp.square(g))
+        return total
+
+    @property
+    def ineq_sse(self) -> Array:
+        total = jnp.zeros(())
+        for h in (self.h_ineq, self.h_state_ineq):
+            if h is not None:
+                total = total + jnp.sum(jnp.square(jnp.minimum(h, 0.0)))
+        return total
+
+
+def evaluate_trajectory(
+    problem: OptimalControlProblem,
+    grid: TimeGrid,
+    xs: Array,
+    us: Array,
+    params: Any,
+) -> TrajectoryMetrics:
+    n = grid.num_intervals
+
+    def intermediate(k):
+        t = grid.times[k]
+        dt = grid.times[k + 1] - grid.times[k]
+        p = node_params(params, grid, k)
+        x, u = xs[k], us[k]
+        m = grid.is_jump[k]
+        c = dt * problem.cost(t, x, u, p)
+        if problem.pre_jump_cost_terms:
+            c = c + m * problem.pre_jump_cost(t, x, p)
+        g_eq = problem.equality(t, x, u, p) if problem.equality_terms else None
+        h_ineq = problem.inequality(t, x, u, p) if problem.inequality_terms else None
+        return c, g_eq, h_ineq
+
+    def state_node(k):
+        t = grid.times[k]
+        p = node_params(params, grid, k)
+        x = xs[k]
+        g = problem.state_equality(t, x, p) if problem.state_equality_terms else None
+        h = (
+            problem.state_inequality(t, x, p)
+            if problem.state_inequality_terms
+            else None
+        )
+        return g, h
+
+    cs, g_eq, h_ineq = jax.vmap(intermediate)(jnp.arange(n))
+    g_seq, h_sineq = (
+        jax.vmap(state_node)(jnp.arange(n + 1))
+        if (problem.state_equality_terms or problem.state_inequality_terms)
+        else (None, None)
+    )
+
+    tN = grid.times[n]
+    pN = node_params(params, grid, n)
+    cost = jnp.sum(cs) + problem.final_cost(tN, xs[n], pN)
+    g_feq = (
+        problem.final_equality(tN, xs[n], pN) if problem.final_equality_terms else None
+    )
+    return TrajectoryMetrics(
+        cost=cost,
+        g_eq=g_eq,
+        g_state_eq=g_seq,
+        h_ineq=h_ineq,
+        h_state_ineq=h_sineq,
+        g_final_eq=g_feq,
+    )
+
+
+def al_merit(metrics: TrajectoryMetrics, al) -> Array:
+    """merit = cost + AL terms, computed from stored constraint values."""
+    merit = metrics.cost
+    if metrics.g_eq is not None:
+        merit = merit + jnp.sum(_EQ_PEN.value(al.lmbd_eq, al.rho, metrics.g_eq))
+    if metrics.g_state_eq is not None:
+        merit = merit + jnp.sum(
+            _EQ_PEN.value(al.lmbd_state_eq, al.rho, metrics.g_state_eq)
+        )
+    if metrics.h_ineq is not None:
+        merit = merit + jnp.sum(_INEQ_PEN.value(al.lmbd_ineq, al.rho, metrics.h_ineq))
+    if metrics.h_state_ineq is not None:
+        merit = merit + jnp.sum(
+            _INEQ_PEN.value(al.lmbd_state_ineq, al.rho, metrics.h_state_ineq)
+        )
+    if metrics.g_final_eq is not None:
+        merit = merit + jnp.sum(
+            _EQ_PEN.value(al.lmbd_final_eq, al.rho, metrics.g_final_eq)
+        )
+    return merit
+
+
+def al_dual_ascent(metrics: TrajectoryMetrics, al):
+    """Multiplier updates from stored constraint values (LANCELOT inner)."""
+    upd = {}
+    if metrics.g_eq is not None:
+        upd["lmbd_eq"] = _EQ_PEN.multiplier_update(al.lmbd_eq, al.rho, metrics.g_eq)
+    if metrics.g_state_eq is not None:
+        upd["lmbd_state_eq"] = _EQ_PEN.multiplier_update(
+            al.lmbd_state_eq, al.rho, metrics.g_state_eq
+        )
+    if metrics.h_ineq is not None:
+        upd["lmbd_ineq"] = _INEQ_PEN.multiplier_update(
+            al.lmbd_ineq, al.rho, metrics.h_ineq
+        )
+    if metrics.h_state_ineq is not None:
+        upd["lmbd_state_ineq"] = _INEQ_PEN.multiplier_update(
+            al.lmbd_state_ineq, al.rho, metrics.h_state_ineq
+        )
+    if metrics.g_final_eq is not None:
+        upd["lmbd_final_eq"] = _EQ_PEN.multiplier_update(
+            al.lmbd_final_eq, al.rho, metrics.g_final_eq
+        )
+    return al._replace(**upd)

@@ -1,0 +1,203 @@
+"""Optimal-control problem definition as a pytree of pure functions.
+
+TPU-native re-expression of the reference's OptimalControlProblem
+(ocs2_oc/include/ocs2_oc/oc_problem/OptimalControlProblem.h:48-138).  The
+reference holds ~20 term-collection slots of virtual-dispatch objects; here a
+problem is a frozen dataclass of jittable callables over dense arrays.  The
+reference's PreComputation cache (ocs2_core/PreComputation.h:48) is subsumed
+by XLA common-subexpression elimination across the fused term evaluations.
+
+Signatures (p is an arbitrary user parameter pytree — targets, gait, model
+constants — traced, so updating it never recompiles):
+    dynamics(t, x, u, p)            -> dx/dt               (continuous flow map)
+    cost(t, x, u, p)                -> scalar cost *rate*  (integrated over dt)
+    state_cost(t, x, p)             -> scalar cost rate
+    final_cost(t, x, p)             -> scalar
+    pre_jump_cost(t, x, p)          -> scalar              (at event nodes)
+    jump_map(t, x, p)               -> x_post              (state at mode switch)
+    equality(t, x, u, p)            -> [ne]   g(t,x,u) = 0 (projectable)
+    state_equality(t, x, p)         -> [nse]  g(t,x)   = 0
+    inequality(t, x, u, p)          -> [ni]   h(t,x,u) >= 0
+    state_inequality(t, x, p)       -> [nsi]  h(t,x)   >= 0
+    final_equality(t, x, p)         -> [nfe]
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import penalties as pen
+
+Array = jax.Array
+CostFn = Callable[..., Array]
+ConstraintFn = Callable[..., Array]
+
+
+def _sum_terms(terms: Tuple[CostFn, ...], *args) -> Array:
+    if not terms:
+        return jnp.zeros(())
+    total = terms[0](*args)
+    for t in terms[1:]:
+        total = total + t(*args)
+    return total
+
+
+def _cat_terms(terms: Tuple[ConstraintFn, ...], *args) -> Optional[Array]:
+    if not terms:
+        return None
+    return jnp.concatenate([jnp.atleast_1d(t(*args)) for t in terms], axis=0)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimalControlProblem:
+    """Problem ingredients (term tuples sum / concatenate on evaluation)."""
+
+    dynamics: Callable
+    cost_terms: Tuple[CostFn, ...] = ()
+    state_cost_terms: Tuple[CostFn, ...] = ()
+    final_cost_terms: Tuple[CostFn, ...] = ()
+    pre_jump_cost_terms: Tuple[CostFn, ...] = ()
+    equality_terms: Tuple[ConstraintFn, ...] = ()
+    state_equality_terms: Tuple[ConstraintFn, ...] = ()
+    inequality_terms: Tuple[ConstraintFn, ...] = ()
+    state_inequality_terms: Tuple[ConstraintFn, ...] = ()
+    final_equality_terms: Tuple[ConstraintFn, ...] = ()
+    jump_map: Optional[Callable] = None
+    # Static model dimensions.
+    nx: int = 0
+    nu: int = 0
+
+    # -- fused evaluators ---------------------------------------------------
+    def cost(self, t, x, u, p) -> Array:
+        return _sum_terms(self.cost_terms, t, x, u, p) + _sum_terms(
+            self.state_cost_terms, t, x, p
+        )
+
+    def final_cost(self, t, x, p) -> Array:
+        return _sum_terms(self.final_cost_terms, t, x, p)
+
+    def pre_jump_cost(self, t, x, p) -> Array:
+        return _sum_terms(self.pre_jump_cost_terms, t, x, p)
+
+    def equality(self, t, x, u, p) -> Optional[Array]:
+        return _cat_terms(self.equality_terms, t, x, u, p)
+
+    def state_equality(self, t, x, p) -> Optional[Array]:
+        return _cat_terms(self.state_equality_terms, t, x, p)
+
+    def inequality(self, t, x, u, p) -> Optional[Array]:
+        return _cat_terms(self.inequality_terms, t, x, u, p)
+
+    def state_inequality(self, t, x, p) -> Optional[Array]:
+        return _cat_terms(self.state_inequality_terms, t, x, p)
+
+    def final_equality(self, t, x, p) -> Optional[Array]:
+        return _cat_terms(self.final_equality_terms, t, x, p)
+
+    def apply_jump(self, t, x, p) -> Array:
+        if self.jump_map is None:
+            return x
+        return self.jump_map(t, x, p)
+
+    # -- constraint dimensions (static, via abstract evaluation) ------------
+    def constraint_dims(self, p_example: Any) -> dict:
+        t = jnp.zeros(())
+        x = jax.ShapeDtypeStruct((self.nx,), jnp.float32)
+        u = jax.ShapeDtypeStruct((self.nu,), jnp.float32)
+
+        def dim(fn, with_u):
+            args = (t, x, u, p_example) if with_u else (t, x, p_example)
+            out = jax.eval_shape(fn, *args)
+            return 0 if out is None else out.shape[0]
+
+        return {
+            "ne": dim(self.equality, True),
+            "nse": dim(self.state_equality, False),
+            "ni": dim(self.inequality, True),
+            "nsi": dim(self.state_inequality, False),
+            "nfe": dim(self.final_equality, False),
+        }
+
+    # -- builders -----------------------------------------------------------
+    def add(self, **kwargs) -> "OptimalControlProblem":
+        """Return a copy with term tuples extended.
+
+        e.g. problem.add(cost_terms=(my_cost,), inequality_terms=(cone,)).
+        """
+        updates = {}
+        for key, val in kwargs.items():
+            cur = getattr(self, key)
+            if isinstance(cur, tuple):
+                updates[key] = cur + tuple(val)
+            else:
+                updates[key] = val
+        return dataclasses.replace(self, **updates)
+
+
+# --------------------------------------------------------------------------
+# Common term constructors.
+# --------------------------------------------------------------------------
+
+
+def quadratic_cost(Q, R, target_key: str = "target"):
+    """Tracking cost 0.5 (x-x*)'Q(x-x*) + 0.5 (u-u*)'R(u-u*).
+
+    The target is read from params[target_key] (a TargetTrajectories), matching
+    the reference's QuadraticStateInputCost + TargetTrajectories pattern
+    (ocs2_core/cost/QuadraticStateInputCost.h).
+    """
+    Q = jnp.asarray(Q)
+    R = jnp.asarray(R)
+
+    def cost(t, x, u, p):
+        tt = p[target_key]
+        dx = x - tt.state_at(t)
+        du = u - tt.input_at(t)
+        return 0.5 * dx @ Q @ dx + 0.5 * du @ R @ du
+
+    return cost
+
+
+def quadratic_final_cost(Qf, target_key: str = "target"):
+    Qf = jnp.asarray(Qf)
+
+    def cost(t, x, p):
+        dx = x - p[target_key].state_at(t)
+        return 0.5 * dx @ Qf @ dx
+
+    return cost
+
+
+def soft_constraint(constraint_fn: ConstraintFn, penalty: pen.Penalty, with_input=True):
+    """Fold an inequality constraint h>=0 into a cost term via a penalty —
+    the reference's StateInputSoftConstraint (soft_constraint/
+    StateInputSoftConstraint.h)."""
+
+    if with_input:
+
+        def cost(t, x, u, p):
+            h = jnp.atleast_1d(constraint_fn(t, x, u, p))
+            return jnp.sum(penalty(h).value)
+
+    else:
+
+        def cost(t, x, p):
+            h = jnp.atleast_1d(constraint_fn(t, x, p))
+            return jnp.sum(penalty(h).value)
+
+    return cost
+
+
+def soft_box_input_constraint(lower, upper, penalty: pen.Penalty):
+    """Soft input box bounds (reference StateInputSoftBoxConstraint.h)."""
+    lower = jnp.asarray(lower)
+    upper = jnp.asarray(upper)
+
+    def cost(t, x, u, p):
+        del t, x, p
+        return jnp.sum(penalty(u - lower).value) + jnp.sum(penalty(upper - u).value)
+
+    return cost

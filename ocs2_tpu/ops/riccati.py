@@ -1,0 +1,268 @@
+"""Time-varying LQR via Riccati recursion — sequential scan and parallel
+associative scan.
+
+This kernel subsumes three reference components:
+* the DDP backward pass (ocs2_ddp/include/ocs2_ddp/riccati_equations/
+  DiscreteTimeRiccatiEquations.h:71 and the partitioned parallel driver
+  GaussNewtonDDP.cpp:516-552),
+* HPIPM's structured equality-QP Riccati solve used by SQP
+  (ocs2_sqp/hpipm_catkin/HpipmInterface.h:85,100,111), and
+* value-function extraction (getRiccatiCostToGo / getRiccatiFeedback).
+
+The sequential path is one ``lax.scan`` (exact).  The parallel path
+reformulates the recursion as an associative operator over conditional
+value functions and runs ``jax.lax.associative_scan`` — O(log N) depth over
+the horizon, the TPU-native analogue of the reference's partitioned parallel
+Riccati (which used *stale* partition-boundary values; ours is exact).
+Construction follows the parallel LQT elements of Särkkä & García-Fernández,
+"Temporal Parallelization of Bayesian Smoothers" (arXiv:1905.13002) /
+"Parallelization of Riccati Recursion" (PAPERS.md).
+
+Problem (increments around the nominal trajectory):
+    min  sum_k [ q_k + qx_k'dx + qu_k'du + 1/2 dx'Qxx dx + du'Qux dx
+                 + 1/2 du'Quu du ]  +  terminal quadratic
+    s.t. dx_{k+1} = A_k dx_k + B_k du_k + b_k
+with b_k the dynamics defect (zero for single-shooting DDP).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import symmetrize
+
+Array = jax.Array
+
+
+class LqrSolution(NamedTuple):
+    gains: Array  # K  [N, nu, nx]   du = kff + K dx
+    kff: Array  # [N, nu]
+    value_S: Array  # [N+1, nx, nx]  cost-to-go Hessian
+    value_s: Array  # [N+1, nx]      cost-to-go gradient
+    dv1: Array  # [] expected decrease, linear term  sum kff'Qu
+    dv2: Array  # [] expected decrease, quadratic    sum 1/2 kff'Quu kff
+
+
+class LqrCoeffs(NamedTuple):
+    """Batched stage data [N, ...] + terminal [nx...]."""
+
+    A: Array
+    B: Array
+    b: Array
+    Qxx: Array
+    qx: Array
+    Quu: Array
+    qu: Array
+    Qux: Array
+    Qf: Array
+    qf: Array
+
+
+def _solve_psd(M: Array, rhs: Array) -> Array:
+    """Solve M z = rhs for symmetric positive-definite M via Cholesky."""
+    chol = jax.scipy.linalg.cho_factor(M, lower=True)
+    return jax.scipy.linalg.cho_solve(chol, rhs)
+
+
+def lqr_backward(coeffs: LqrCoeffs, reg: Array | float = 0.0) -> LqrSolution:
+    """Sequential Riccati backward pass (reference DiscreteTimeRiccatiEquations
+    recursion), one fused lax.scan."""
+    nu = coeffs.B.shape[-1]
+    eye_u = jnp.eye(nu, dtype=coeffs.B.dtype)
+
+    def step(carry, stage):
+        s_mat, s_vec = carry
+        a, b_mat, b, qxx, qx, quu, qu, qux = stage
+        sv = s_vec + s_mat @ b
+        qu_hat = qu + b_mat.T @ sv
+        qx_hat = qx + a.T @ sv
+        quu_hat = quu + b_mat.T @ s_mat @ b_mat + reg * eye_u
+        qux_hat = qux + b_mat.T @ s_mat @ a
+        qxx_hat = qxx + a.T @ s_mat @ a
+        kk = -_solve_psd(quu_hat, qux_hat)
+        kf = -_solve_psd(quu_hat, qu_hat)
+        s_next = symmetrize(qxx_hat + kk.T @ quu_hat @ kk + kk.T @ qux_hat + qux_hat.T @ kk)
+        sv_next = qx_hat + kk.T @ quu_hat @ kf + kk.T @ qu_hat + qux_hat.T @ kf
+        dv1 = kf @ qu_hat
+        dv2 = 0.5 * kf @ quu_hat @ kf
+        return (s_next, sv_next), (kk, kf, s_next, sv_next, dv1, dv2)
+
+    stages = (
+        coeffs.A,
+        coeffs.B,
+        coeffs.b,
+        coeffs.Qxx,
+        coeffs.qx,
+        coeffs.Quu,
+        coeffs.qu,
+        coeffs.Qux,
+    )
+    init = (coeffs.Qf, coeffs.qf)
+    _, (ks, kffs, s_mats, s_vecs, dv1s, dv2s) = jax.lax.scan(
+        step, init, stages, reverse=True
+    )
+    value_S = jnp.concatenate([s_mats, coeffs.Qf[None]], axis=0)
+    value_s = jnp.concatenate([s_vecs, coeffs.qf[None]], axis=0)
+    return LqrSolution(
+        gains=ks,
+        kff=kffs,
+        value_S=value_S,
+        value_s=value_s,
+        dv1=jnp.sum(dv1s),
+        dv2=jnp.sum(dv2s),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parallel (associative-scan) Riccati.
+# ---------------------------------------------------------------------------
+
+
+def _eliminate_cross_terms(coeffs: LqrCoeffs, reg):
+    """Complete the square in u: du = dv - Quu^{-1}(Qux dx + qu).
+
+    Removes the cross term and the linear-in-u term so stages fit the
+    parallel-LQT element form; gains are mapped back afterwards.
+    """
+    nu = coeffs.B.shape[-1]
+    eye_u = jnp.eye(nu, dtype=coeffs.B.dtype)
+
+    def per_stage(a, b_mat, b, qxx, qx, quu, qu, qux):
+        quu_r = quu + reg * eye_u
+        w_ux = _solve_psd(quu_r, qux)  # Quu^{-1} Qux
+        w_u = _solve_psd(quu_r, qu)  # Quu^{-1} qu
+        a_t = a - b_mat @ w_ux
+        b_t = b - b_mat @ w_u
+        qxx_t = symmetrize(qxx - qux.T @ w_ux)
+        qx_t = qx - qux.T @ w_u
+        return a_t, b_t, qxx_t, qx_t, quu_r, w_ux, w_u
+
+    return jax.vmap(per_stage)(
+        coeffs.A,
+        coeffs.B,
+        coeffs.b,
+        coeffs.Qxx,
+        coeffs.qx,
+        coeffs.Quu,
+        coeffs.qu,
+        coeffs.Qux,
+    )
+
+
+class _Element(NamedTuple):
+    """Parallel-LQT conditional-value-function element (Särkkä et al.)."""
+
+    F: Array  # [nx, nx]
+    c: Array  # [nx]
+    C: Array  # [nx, nx]
+    eta: Array  # [nx]
+    J: Array  # [nx, nx]
+
+
+def _combine(later: _Element, earlier: _Element) -> _Element:
+    """Associative combination of conditional value functions.
+
+    Under ``associative_scan(..., reverse=True)`` the first argument is the
+    already-combined suffix (the *later* span [k, j)) and the second is the
+    new element (the *earlier* span [i, k)); the composition below is
+    earlier-then-later.
+    """
+    e1, e2 = earlier, later
+    nx = e1.F.shape[-1]
+    eye = jnp.eye(nx, dtype=e1.F.dtype)
+
+    def one(a: _Element, b: _Element) -> _Element:
+        m = eye + a.C @ b.J  # I + C1 J2
+        m_inv_f1 = jnp.linalg.solve(m, a.F)
+        m_inv_rhs = jnp.linalg.solve(m, a.c + a.C @ b.eta)
+        n = eye + b.J @ a.C  # I + J2 C1
+        n_inv_eta = jnp.linalg.solve(n, b.eta - b.J @ a.c)
+        n_inv_j2f1 = jnp.linalg.solve(n, b.J @ a.F)
+        return _Element(
+            F=b.F @ m_inv_f1,
+            c=b.F @ m_inv_rhs + b.c,
+            C=symmetrize(b.F @ jnp.linalg.solve(m, a.C) @ b.F.T + b.C),
+            eta=a.F.T @ n_inv_eta + a.eta,
+            J=symmetrize(a.F.T @ n_inv_j2f1 + a.J),
+        )
+
+    return jax.vmap(one)(e1, e2)
+
+
+def lqr_backward_parallel(coeffs: LqrCoeffs, reg: Array | float = 0.0) -> LqrSolution:
+    """Associative-scan Riccati: O(log N) depth, exact (validated against
+    the sequential scan in tests/test_riccati.py)."""
+    a_t, b_t, qxx_t, qx_t, quu_r, w_ux, w_u = _eliminate_cross_terms(coeffs, reg)
+    n, nx = b_t.shape
+
+    def inv_c(b_mat, quu):
+        return b_mat @ _solve_psd(quu, b_mat.T)
+
+    c_stage = jax.vmap(inv_c)(coeffs.B, quu_r)
+
+    # Stage elements [0..N-1]: cost measured on the incoming state x_k.
+    elems = _Element(F=a_t, c=b_t, C=c_stage, eta=-qx_t, J=qxx_t)
+    # Terminal element: pins the value function to the terminal quadratic.
+    term = _Element(
+        F=jnp.zeros((1, nx, nx), a_t.dtype),
+        c=jnp.zeros((1, nx), a_t.dtype),
+        C=jnp.zeros((1, nx, nx), a_t.dtype),
+        eta=-coeffs.qf[None],
+        J=coeffs.Qf[None],
+    )
+    elems = jax.tree.map(lambda s, t: jnp.concatenate([s, t], axis=0), elems, term)
+
+    scanned = jax.lax.associative_scan(_combine, elems, reverse=True)
+    value_S = scanned.J  # [N+1, nx, nx]
+    value_s = -scanned.eta
+
+    # Per-node gain extraction from V_{k+1} (batched — no recursion left).
+    def gains(a, b_mat, b, quu, qux, qu, s_next, sv_next):
+        sv = sv_next + s_next @ b
+        quu_hat = quu + b_mat.T @ s_next @ b_mat
+        qux_hat = qux + b_mat.T @ s_next @ a
+        qu_hat = qu + b_mat.T @ sv
+        kk = -_solve_psd(quu_hat, qux_hat)
+        kf = -_solve_psd(quu_hat, qu_hat)
+        return kk, kf, kf @ qu_hat, 0.5 * kf @ quu_hat @ kf
+
+    ks, kffs, dv1s, dv2s = jax.vmap(gains)(
+        coeffs.A,
+        coeffs.B,
+        coeffs.b,
+        quu_r,
+        coeffs.Qux,
+        coeffs.qu,
+        value_S[1:],
+        value_s[1:],
+    )
+    del w_ux, w_u
+    return LqrSolution(
+        gains=ks,
+        kff=kffs,
+        value_S=value_S,
+        value_s=value_s,
+        dv1=jnp.sum(dv1s),
+        dv2=jnp.sum(dv2s),
+    )
+
+
+def lqr_forward(coeffs: LqrCoeffs, sol: LqrSolution, dx0: Array):
+    """Roll the LQR policy through the linear dynamics (exact QP solution).
+
+    Returns (dxs [N+1, nx], dus [N, nu]) — the Newton/SQP step.
+    """
+
+    def body(dx, stage):
+        a, b_mat, b, kk, kf = stage
+        du = kf + kk @ dx
+        dx_next = a @ dx + b_mat @ du + b
+        return dx_next, (dx_next, du)
+
+    _, (dxs_tail, dus) = jax.lax.scan(
+        body, dx0, (coeffs.A, coeffs.B, coeffs.b, sol.gains, sol.kff)
+    )
+    dxs = jnp.concatenate([dx0[None], dxs_tail], axis=0)
+    return dxs, dus
