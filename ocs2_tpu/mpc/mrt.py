@@ -1,0 +1,168 @@
+"""MRT — model reference tracking (the consumer side of the MPC split).
+
+TPU-native analogue of the reference MRT layer (ocs2_mpc/MRT_BASE.h:58-180:
+updatePolicy/evaluatePolicy/rolloutPolicy double-buffered policy manager,
+MPC_MRT_Interface.h:50 in-process pairing, and the closed-loop simulator
+MRT_ROS_Dummy_Loop, ros_interfaces/src/mrt/MRT_ROS_Dummy_Loop.cpp:58-180).
+
+The reference's ROS-topic pipeline parallelism (planner at 50-100 Hz, tracker
+at 400 Hz+ on separate processes) becomes: policies are device-resident
+pytrees swapped by reference on the host; `evaluate_policy` / `rollout_policy`
+are tiny jitted device functions.  A real robot deployment would move only
+(t, x) -> u across the host boundary per control tick.
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.controllers import LinearController
+from ..core.integrate import discretize
+from ..oc.problem import OptimalControlProblem
+from .mpc import Mpc, MpcPolicy
+
+Array = jax.Array
+
+
+class SystemObservation:
+    """(mode, time, state, input) plant sample (reference
+    SystemObservation.h:41)."""
+
+    def __init__(self, time: float, state: Array, input: Optional[Array] = None,
+                 mode: int = 0):
+        self.time = time
+        self.state = state
+        self.input = input
+        self.mode = mode
+
+
+class Mrt:
+    """Policy consumer with buffer-swap semantics (MRT_BASE.h:126-148)."""
+
+    def __init__(self, problem: OptimalControlProblem):
+        self.problem = problem
+        self._active: Optional[MpcPolicy] = None
+        self._buffer: Optional[MpcPolicy] = None
+        self._eval = jax.jit(
+            lambda ctrl, t, x: ctrl(t, x)
+        )
+
+        def _rollout_step(t, x, u, dt, params):
+            flow = discretize(
+                lambda tt, xx, uu: problem.dynamics(tt, xx, uu, params), "rk4", 2
+            )
+            return flow(t, x, u, dt)
+
+        self._rollout_step = jax.jit(_rollout_step)
+
+    # -- policy transport ---------------------------------------------------
+    def move_to_buffer(self, policy: MpcPolicy) -> None:
+        """Receive a new policy (the reference's mpcPolicyCallback)."""
+        self._buffer = policy
+
+    def update_policy(self) -> bool:
+        """Swap in the newest buffered policy (MRT_BASE::updatePolicy)."""
+        if self._buffer is None:
+            return False
+        self._active = self._buffer
+        self._buffer = None
+        return True
+
+    @property
+    def initialized(self) -> bool:
+        return self._active is not None
+
+    @property
+    def policy(self) -> MpcPolicy:
+        assert self._active is not None, "no policy received yet (MRT gating)"
+        return self._active
+
+    # -- policy queries -----------------------------------------------------
+    def evaluate_policy(self, t: float, x: Array) -> Array:
+        """u = uff + K (x - x_nom) interpolated at t (MRT_BASE.h:126)."""
+        return self._eval(self.policy.controller, jnp.asarray(t, jnp.float32), x)
+
+    def rollout_policy(self, t: float, x: Array, dt: float, params: dict,
+                       substeps: int = 1) -> Array:
+        """Integrate the plant under the policy for one control period
+        (MRT_BASE::rolloutPolicy, MRT_BASE.h:138)."""
+        x = jnp.asarray(x)
+        h = dt / substeps
+        for i in range(substeps):
+            ti = t + i * h
+            u = self.evaluate_policy(ti, x)
+            x = self._rollout_step(
+                jnp.asarray(ti, jnp.float32), x, u, jnp.asarray(h, jnp.float32),
+                params,
+            )
+        return x
+
+
+class MpcMrtInterface:
+    """In-process MPC+MRT pairing for tests, python users, and MPC-Net
+    (reference MPC_MRT_Interface.h:50)."""
+
+    def __init__(self, mpc: Mpc, mrt: Optional[Mrt] = None):
+        self.mpc = mpc
+        self.mrt = mrt or Mrt(mpc.problem)
+        self._observation: Optional[SystemObservation] = None
+
+    def set_current_observation(self, obs: SystemObservation) -> None:
+        self._observation = obs
+
+    def advance_mpc(self) -> MpcPolicy:
+        assert self._observation is not None, "no observation set"
+        policy = self.mpc.run(self._observation.time, self._observation.state)
+        self.mrt.move_to_buffer(policy)
+        return policy
+
+    def evaluate_policy(self, t: float, x: Array) -> Array:
+        return self.mrt.evaluate_policy(t, x)
+
+
+def dummy_loop(
+    interface: MpcMrtInterface,
+    x0: Array,
+    duration: float,
+    mrt_frequency: float = 400.0,
+    mpc_frequency: float = 50.0,
+    params: Optional[dict] = None,
+    observers: Optional[List[Callable]] = None,
+    use_rollout: bool = True,
+):
+    """Closed-loop simulation at synthetic rates (reference
+    MRT_ROS_Dummy_Loop::run, MRT_ROS_Dummy_Loop.cpp:58-180, synchronized
+    mode: MPC runs every mrt/mpc-ratio control ticks).
+
+    Returns (times [M], states [M, nx], inputs [M-1, nu]).
+    """
+    params = params or interface.mpc.base_params
+    dt = 1.0 / mrt_frequency
+    ratio = max(1, int(round(mrt_frequency / mpc_frequency)))
+    steps = int(round(duration * mrt_frequency))
+
+    t, x = 0.0, jnp.asarray(x0)
+    times, states, inputs = [t], [x], []
+    for k in range(steps):
+        if k % ratio == 0:
+            interface.set_current_observation(SystemObservation(t, x))
+            interface.advance_mpc()
+            interface.mrt.update_policy()
+        u = interface.mrt.evaluate_policy(t, x)
+        if use_rollout:
+            x = interface.mrt.rollout_policy(t, x, dt, params)
+        else:
+            x = interface.mrt.policy.controller.x_nom  # pure tracking debug
+        t += dt
+        times.append(t)
+        states.append(x)
+        inputs.append(u)
+        for obs in observers or ():
+            obs(t, x, u)
+    return (
+        jnp.asarray(times),
+        jnp.stack(states),
+        jnp.stack(inputs),
+    )

@@ -66,6 +66,32 @@ def _solve_psd(M: Array, rhs: Array) -> Array:
     return jax.scipy.linalg.cho_solve(chol, rhs)
 
 
+def convexify(coeffs: LqrCoeffs, min_eig: float = 1e-5) -> LqrCoeffs:
+    """Project every stage's joint Hessian [[Qxx, Qux'], [Qux, Quu]] (and the
+    terminal Qf) onto the PSD cone by eigenvalue clamping.
+
+    The TPU-native analogue of the reference's Hessian correction strategies
+    (ocs2_ddp/riccati_equations/HessianCorrection.h — shift-eigenvalue):
+    exact Hessians of nonconvex terms can be indefinite, which breaks the
+    Riccati Cholesky; one batched eigh over the horizon restores a convex
+    subproblem with the same first-order model.
+    """
+    nx = coeffs.Qxx.shape[-1]
+
+    def stage(qxx, qux, quu):
+        z = jnp.block([[qxx, qux.T], [qux, quu]])
+        z = 0.5 * (z + z.T)
+        w, v = jnp.linalg.eigh(z)
+        z = (v * jnp.maximum(w, min_eig)) @ v.T
+        return z[:nx, :nx], z[nx:, :nx], z[nx:, nx:]
+
+    qxx, qux, quu = jax.vmap(stage)(coeffs.Qxx, coeffs.Qux, coeffs.Quu)
+
+    wf, vf = jnp.linalg.eigh(0.5 * (coeffs.Qf + coeffs.Qf.T))
+    qf = (vf * jnp.maximum(wf, min_eig)) @ vf.T
+    return coeffs._replace(Qxx=qxx, Qux=qux, Quu=quu, Qf=qf)
+
+
 def lqr_backward(coeffs: LqrCoeffs, reg: Array | float = 0.0) -> LqrSolution:
     """Sequential Riccati backward pass (reference DiscreteTimeRiccatiEquations
     recursion), one fused lax.scan."""

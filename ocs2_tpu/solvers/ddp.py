@@ -41,7 +41,13 @@ from ..oc.problem import OptimalControlProblem
 from ..oc.metrics import TrajectoryMetrics, al_dual_ascent, al_merit, evaluate_trajectory
 from ..oc.rollout import ddp_search_policy, open_loop_policy, rollout
 from ..oc.time_discretization import TimeGrid
-from ..ops.riccati import LqrCoeffs, LqrSolution, lqr_backward, lqr_backward_parallel
+from ..ops.riccati import (
+    LqrCoeffs,
+    LqrSolution,
+    convexify,
+    lqr_backward,
+    lqr_backward_parallel,
+)
 from .al import AlState, augment_problem
 
 Array = jax.Array
@@ -70,6 +76,8 @@ class DdpSettings:
     al_rho_max: float = 1e6
     parallel_riccati: bool = False
     use_feedback_policy: bool = True
+    # PSD-project stage Hessians (HessianCorrection.h analogue).
+    convexify: bool = True
 
     @property
     def _substeps(self) -> int:
@@ -161,6 +169,8 @@ def solve(
             method=settings.integrator, substeps=settings._substeps,
         )
         coeffs = _lq_to_coeffs(lq)
+        if settings.convexify:
+            coeffs = convexify(coeffs)
         backward = lqr_backward_parallel if settings.parallel_riccati else lqr_backward
         sol: LqrSolution = backward(coeffs, reg=c.reg)
 

@@ -49,7 +49,13 @@ from ..ops.projection import (
     remap_projected_gain,
     remap_projected_input,
 )
-from ..ops.riccati import LqrCoeffs, lqr_backward, lqr_backward_parallel, lqr_forward
+from ..ops.riccati import (
+    LqrCoeffs,
+    convexify,
+    lqr_backward,
+    lqr_backward_parallel,
+    lqr_forward,
+)
 from .al import AlState, augment_problem
 from .ddp import _example_params
 
@@ -73,6 +79,9 @@ class SqpSettings:
     dynamics_tol: float = 1e-6  # convergence on step + defect size
     project_equalities: bool = True
     hessian_reg: float = 1e-6
+    # PSD-project stage Hessians (HessianCorrection.h analogue); required
+    # whenever exact Hessians of nonconvex terms can go indefinite.
+    convexify: bool = True
     al_rho_init: float = 10.0
     al_rho_growth: float = 10.0
     al_rho_max: float = 1e6
@@ -188,6 +197,8 @@ def solve(
             Qf=lq.cost.dfdxx[-1],
             qf=lq.cost.dfdx[-1],
         )
+        if settings.convexify:
+            coeffs = convexify(coeffs, settings.hessian_reg)
 
         backward = lqr_backward_parallel if settings.parallel_riccati else lqr_backward
         if project:
