@@ -43,7 +43,7 @@ class MpcSettings:
 
     time_horizon: float = 1.0
     num_intervals: int = 64
-    solver: str = "sqp"  # "sqp" | "ddp"
+    solver: str = "sqp"  # "sqp" | "ddp" | "ipm" | "slp"
     cold_start: bool = False
     # Warm-start carry of AL multipliers across solves.
     carry_multipliers: bool = True
@@ -129,13 +129,19 @@ class Mpc:
         self.reference_manager = reference_manager or ReferenceManager(
             params.get("target")
         )
+        from ..solvers import ipm as ipm_mod
+        from ..solvers import slp as slp_mod
+
+        solver_registry = {
+            "sqp": (sqp_mod, sqp_mod.SqpSettings),
+            "ddp": (ddp_mod, ddp_mod.DdpSettings),
+            "ipm": (ipm_mod, ipm_mod.IpmSettings),
+            "slp": (slp_mod, slp_mod.SlpSettings),
+        }
+        self._solver, default_settings = solver_registry[settings.solver]
         if solver_settings is None:
-            solver_settings = (
-                sqp_mod.SqpSettings() if settings.solver == "sqp"
-                else ddp_mod.DdpSettings()
-            )
+            solver_settings = default_settings()
         self.solver_settings = solver_settings
-        self._solver = sqp_mod if settings.solver == "sqp" else ddp_mod
         self._prev: Optional[MpcPolicy] = None
         self._prev_al = None
         self.solve_timer = RepeatedTimer()
@@ -151,16 +157,16 @@ class Mpc:
 
     # -- device function ----------------------------------------------------
     def _device_solve(self, grid: TimeGrid, x0, warm_xs, warm_us, al, params):
-        if self.settings.solver == "sqp":
-            sol = sqp_mod.solve(
-                self.problem, grid, x0, params,
-                xs_init=warm_xs, us_init=warm_us, al_init=al,
-                settings=self.solver_settings,
-            )
-        else:
+        if self.settings.solver == "ddp":
             sol = ddp_mod.solve(
                 self.problem, grid, x0, params,
                 us_init=warm_us, al_init=al, settings=self.solver_settings,
+            )
+        else:  # multiple-shooting family: sqp / ipm / slp
+            sol = self._solver.solve(
+                self.problem, grid, x0, params,
+                xs_init=warm_xs, us_init=warm_us, al_init=al,
+                settings=self.solver_settings,
             )
         controller = LinearController(
             times=grid.times[:-1], uff=sol.us, gains=sol.gains, x_nom=sol.xs[:-1]
@@ -203,7 +209,10 @@ class Mpc:
 
     def _warm_start(self, grid: TimeGrid, x: Array):
         """Shift the previous solution onto the new grid (MPC warm start;
-        cold start or first call falls back to the initializer)."""
+        cold start or first call falls back to the initializer).  When the
+        mode schedule moved between ticks the interpolation goes through the
+        trajectory-spreading time warp so warm starts stay mode-consistent
+        (reference TrajectorySpreading via MRT_BASE::modifyActiveSolution)."""
         n = grid.num_intervals
         if self.settings.cold_start or self._prev is None:
             # Constant-state / zero-input initialization (Initializer.h:40).
@@ -211,8 +220,15 @@ class Mpc:
             us = jnp.zeros((n, self.problem.nu), xs.dtype)
             return xs, us
         from ..core.interpolation import interpolate_batch
+        from ..oc.spreading import mode_schedules_differ, spread_trajectories
 
         prev = self._prev
+        new_ms = self.reference_manager.mode_schedule
+        if mode_schedules_differ(prev.mode_schedule, new_ms):
+            return spread_trajectories(
+                prev.times, prev.xs, prev.us,
+                prev.mode_schedule, new_ms, grid.times,
+            )
         xs = interpolate_batch(prev.times, prev.xs, grid.times)
         us = interpolate_batch(prev.times[:-1], prev.us, grid.times[:-1])
         return xs, us

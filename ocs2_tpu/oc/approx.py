@@ -210,7 +210,10 @@ def approximate_lq(
         if batched is None:
             return None
         return jax.tree.map(
-            lambda b, l: jnp.concatenate([b, l[None]], axis=0), batched, last,
+            lambda b, l: None if b is None else jnp.concatenate(
+                [b, l[None]], axis=0
+            ),
+            batched, last,
             is_leaf=lambda v: v is None,
         )
 

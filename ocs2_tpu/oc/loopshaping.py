@@ -1,0 +1,179 @@
+"""Loopshaping: frequency-domain cost shaping via input-filter augmentation.
+
+TPU-native re-design of the reference loopshaping machinery
+(ocs2_core/include/ocs2_core/loopshaping/: LoopshapingDefinition.h:44-49 with
+its two patterns, the dynamics wrapper loopshaping/dynamics/
+LoopshapingDynamics.h, and the cost/constraint/soft-constraint wrappers under
+loopshaping/{cost,constraint,soft_constraint}/; the property-tree loader
+LoopshapingPropertyTree.h becomes plain config fields in utils/config.py).
+
+Where the reference wraps every problem ingredient in a decorator class
+hierarchy, here loopshaping is **one pure function from problem to problem**:
+the augmented system state is x_aug = (x, xi) with xi the input-filter state,
+the new decision input is v, and the plant input is u = C xi + D v (the
+reference's *output pattern*; the *eliminate pattern* additionally removes u
+as an algebraic variable, which in this representation is the same closure —
+the filter is strictly proper, D = 0).  Every original cost/constraint term
+is evaluated at (x, u(xi, v)) — XLA fuses the substitution for free; no
+wrapper objects exist at runtime.
+
+Filter dynamics:  xi' = A xi + B v,   u = C xi + D v.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .problem import OptimalControlProblem
+
+Array = jax.Array
+
+
+class LoopshapingDefinition(NamedTuple):
+    """Input-filter state space (reference LoopshapingDefinition.h).
+
+    A [nf, nf], B [nf, nv], C [nu, nf], D [nu, nv].  R_v is an optional
+    quadratic penalty on the filtered input v (the shaping weight).
+    """
+
+    A: Array
+    B: Array
+    C: Array
+    D: Array
+    R_v: Optional[Array] = None
+
+    @property
+    def num_filter_states(self) -> int:
+        return self.A.shape[0]
+
+    @property
+    def num_filtered_inputs(self) -> int:
+        return self.B.shape[1]
+
+    def filter_input(self, xi: Array, v: Array) -> Array:
+        """Plant input u = C xi + D v (LoopshapingDefinition::getSystemInput)."""
+        return self.C @ xi + self.D @ v
+
+    def equilibrium_filter_state(self, u: Array) -> Array:
+        """xi with C xi = u and xi' = 0 for the steady plant input — used to
+        augment observations (reference LoopshapingSystemObservation /
+        augmentedSystemState).  Least-squares when C is not square."""
+        sol = jnp.linalg.lstsq(self.C, u)[0]
+        return sol
+
+
+def first_order_filter(
+    nu: int, pole: float, zero: float, gain: float = 1.0, dtype=jnp.float32
+) -> LoopshapingDefinition:
+    """Diagonal first-order shaping filter s -> gain*(s+zero)/(s+pole) per
+    input channel (the common configuration in the reference's loopshaping
+    .info files, e.g. ocs2_anymal_loopshaping_mpc)."""
+    eye = jnp.eye(nu, dtype=dtype)
+    return LoopshapingDefinition(
+        A=-pole * eye,
+        B=eye,
+        C=gain * (zero - pole) * eye,
+        D=gain * eye,
+    )
+
+
+def augment_observation(defn: LoopshapingDefinition, x: Array, u: Array) -> Array:
+    """(x, u) -> x_aug for warm starts / initial conditions."""
+    return jnp.concatenate([x, defn.equilibrium_filter_state(u)])
+
+
+def split_state(defn: LoopshapingDefinition, x_aug: Array):
+    nf = defn.num_filter_states
+    return x_aug[:-nf], x_aug[-nf:]
+
+
+def wrap_problem(
+    problem: OptimalControlProblem, defn: LoopshapingDefinition
+) -> OptimalControlProblem:
+    """Loopshaping augmentation as a problem-to-problem transform (replacing
+    the reference's LoopshapingDynamics/Cost/Constraint wrapper hierarchy).
+
+    Returns a problem with nx + nf states and nv inputs whose solutions,
+    restricted to the plant block, solve the shaped control problem."""
+    nx, nf = problem.nx, defn.num_filter_states
+    nv = defn.num_filtered_inputs
+
+    def split(t, xa, v, p):
+        x, xi = xa[:nx], xa[nx:]
+        u = defn.filter_input(xi, v)
+        return x, xi, u
+
+    def dynamics(t, xa, v, p):
+        x, xi, u = split(t, xa, v, p)
+        dx = problem.dynamics(t, x, u, p)
+        dxi = defn.A @ xi + defn.B @ v
+        return jnp.concatenate([dx, dxi])
+
+    def wrap_cost(term):
+        def cost(t, xa, v, p):
+            x, xi, u = split(t, xa, v, p)
+            return term(t, x, u, p)
+
+        return cost
+
+    def wrap_state_term(term):
+        def fn(t, xa, p):
+            return term(t, xa[:nx], p)
+
+        return fn
+
+    def wrap_constraint(term):
+        def g(t, xa, v, p):
+            x, xi, u = split(t, xa, v, p)
+            return term(t, x, u, p)
+
+        return g
+
+    extra_cost = ()
+    if defn.R_v is not None:
+
+        def shaping_cost(t, xa, v, p):
+            return 0.5 * v @ defn.R_v @ v
+
+        extra_cost = (shaping_cost,)
+
+    jump_map = None
+    if problem.jump_map is not None:
+
+        def jump_map(t, xa, p):
+            x_next = problem.apply_jump(t, xa[:nx], p)
+            return jnp.concatenate([x_next, xa[nx:]])
+
+    return dataclasses.replace(
+        problem,
+        dynamics=dynamics,
+        nx=nx + nf,
+        nu=nv,
+        cost_terms=tuple(wrap_cost(c) for c in problem.cost_terms) + extra_cost,
+        state_cost_terms=tuple(
+            wrap_state_term(c) for c in problem.state_cost_terms
+        ),
+        pre_jump_cost_terms=tuple(
+            wrap_state_term(c) for c in problem.pre_jump_cost_terms
+        ),
+        final_cost_terms=tuple(
+            wrap_state_term(c) for c in problem.final_cost_terms
+        ),
+        equality_terms=tuple(wrap_constraint(g) for g in problem.equality_terms),
+        inequality_terms=tuple(
+            wrap_constraint(g) for g in problem.inequality_terms
+        ),
+        state_equality_terms=tuple(
+            wrap_state_term(g) for g in problem.state_equality_terms
+        ),
+        state_inequality_terms=tuple(
+            wrap_state_term(g) for g in problem.state_inequality_terms
+        ),
+        final_equality_terms=tuple(
+            wrap_state_term(g) for g in problem.final_equality_terms
+        ),
+        jump_map=jump_map,
+    )

@@ -74,6 +74,14 @@ class DdpSettings:
     al_rho_init: float = 10.0
     al_rho_growth: float = 10.0
     al_rho_max: float = 1e6
+    # AL outer-loop schedule: dual ascent / penalty growth fires when the
+    # inner merit descent slows below inner_tol (a LOOSER threshold than the
+    # min_rel_cost convergence test), and is forced every outer_update_every
+    # inner iterations so a slowly-descending inner problem cannot starve the
+    # multiplier updates (reference: penalty update between DDP iterations,
+    # GaussNewtonDDP constraint penalty growth).
+    inner_tol: float = 1e-3
+    outer_update_every: int = 10
     parallel_riccati: bool = False
     use_feedback_policy: bool = True
     # PSD-project stage Hessians (HessianCorrection.h analogue).
@@ -106,7 +114,9 @@ class _Carry(NamedTuple):
     reg: Array
     merit: Array
     viol: Array
+    best_viol: Array
     rel_decrease: Array
+    since_outer: Array
     it: Array
     done: Array
     gains: Array
@@ -146,7 +156,7 @@ def solve(
     aug = augment_problem(problem)
     dims = problem.constraint_dims(_example_params(params))
     if al_init is None:
-        al_init = AlState.init(dims, n, settings.al_rho_init)
+        al_init = AlState.init(dims, n, settings.al_rho_init, dtype=x0.dtype)
     if us_init is None:
         us_init = jnp.zeros((n, nu), x0.dtype)
 
@@ -206,14 +216,24 @@ def solve(
             jnp.minimum(c.reg * settings.reg_increase, settings.reg_max),
         )
 
-        # LANCELOT-style AL outer update on accepted steps: if the violation
-        # dropped enough, dual ascent; otherwise raise the penalty (replaces
-        # the reference's per-iteration penalty growth).
+        # LANCELOT-style AL outer loop: dual ascent / penalty growth when the
+        # inner problem (AL merit at fixed multipliers) is near-stationary —
+        # growing rho per DDP step explodes the merit before the inner solve
+        # converges and stalls the line search (see solvers/sqp.py).  A
+        # slowly-descending inner problem must not starve the outer loop, so
+        # the update is also forced every outer_update_every iterations.
+        rel = jnp.abs(c.merit - merit_n) / jnp.maximum(jnp.abs(c.merit), 1e-12)
+        inner_stat = jnp.logical_or(
+            jnp.logical_and(any_ok, rel < settings.inner_tol), ~any_ok
+        )
+        outer_due = jnp.logical_or(
+            inner_stat, c.since_outer >= settings.outer_update_every
+        )
         viol = jnp.sqrt(metrics_n.eq_sse + metrics_n.ineq_sse)
         feasible = viol < settings.constraint_tolerance
-        improved = jnp.logical_or(viol <= 0.25 * c.viol, feasible)
-        take_dual = jnp.logical_and(any_ok, improved)
-        take_rho = jnp.logical_and(any_ok, ~improved)
+        improved = jnp.logical_or(viol <= 0.5 * c.best_viol, feasible)
+        take_dual = jnp.logical_and(outer_due, improved)
+        take_rho = jnp.logical_and(outer_due, ~improved)
         dual = al_dual_ascent(metrics_n, c.al)
         al_n = jax.tree.map(
             lambda new, old: jnp.where(take_dual, new, old), dual, c.al
@@ -225,25 +245,27 @@ def solve(
                 al_n.rho,
             )
         )
+        best_viol = jnp.where(
+            outer_due, jnp.minimum(c.best_viol, viol), c.best_viol
+        )
         # Merit must be measured under the multipliers the next iteration
         # will use, else the line search chases a stale objective.  With the
         # constraint values stored this is an elementwise reduction.
         merit_carry = jnp.where(any_ok, al_merit(metrics_n, al_n), c.merit)
 
-        rel = jnp.abs(c.merit - merit_n) / jnp.maximum(jnp.abs(c.merit), 1e-12)
         stalled = jnp.logical_and(~any_ok, c.reg >= settings.reg_max * 0.99)
-        # Converged = tiny relative merit decrease AND constraints satisfied
-        # (reference DDP_Settings minRelCost + constraintTolerance).
-        done = jnp.logical_or(
-            jnp.logical_and(
-                jnp.logical_and(any_ok, rel < settings.min_rel_cost), feasible
-            ),
-            stalled,
+        # Converged = inner stationary at the (tighter) min_rel_cost AND
+        # constraints satisfied (reference minRelCost + constraintTolerance).
+        inner_conv = jnp.logical_or(
+            jnp.logical_and(any_ok, rel < settings.min_rel_cost), ~any_ok
         )
+        done = jnp.logical_or(jnp.logical_and(inner_conv, feasible), stalled)
         return _Carry(
             xs=xs_n, us=us_n, al=al_n, reg=reg_n, merit=merit_carry,
-            viol=jnp.where(any_ok, viol, c.viol),
-            rel_decrease=rel, it=c.it + 1, done=done,
+            viol=jnp.where(any_ok, viol, c.viol), best_viol=best_viol,
+            rel_decrease=rel,
+            since_outer=jnp.where(outer_due, 0, c.since_outer + 1),
+            it=c.it + 1, done=done,
             gains=sol.gains, value_S=sol.value_S, value_s=sol.value_s,
         )
 
@@ -252,7 +274,9 @@ def solve(
         reg=jnp.asarray(settings.reg_init, x0.dtype),
         merit=merit0,
         viol=jnp.asarray(jnp.inf, x0.dtype),
+        best_viol=jnp.asarray(jnp.inf, x0.dtype),
         rel_decrease=jnp.asarray(jnp.inf, x0.dtype),
+        since_outer=jnp.zeros((), jnp.int32),
         it=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
         gains=jnp.zeros((n, nu, nx), x0.dtype),

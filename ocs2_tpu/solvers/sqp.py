@@ -77,6 +77,12 @@ class SqpSettings:
     g_min: float = 1e-6
     cost_tol: float = 1e-4
     dynamics_tol: float = 1e-6  # convergence on step + defect size
+    # Primal termination: RMS of the accepted (dx, du) step both below this
+    # (reference SqpSettings.h:43 deltaTol / Convergence::PRIMAL).
+    delta_tol: float = 1e-6
+    # Total-violation feasibility threshold for convergence (reference
+    # constraintTolerance, DDP_Settings.h:77 uses 1e-3; tighter here).
+    constraint_tol: float = 1e-4
     project_equalities: bool = True
     hessian_reg: float = 1e-6
     # PSD-project stage Hessians (HessianCorrection.h analogue); required
@@ -85,8 +91,17 @@ class SqpSettings:
     al_rho_init: float = 10.0
     al_rho_growth: float = 10.0
     al_rho_max: float = 1e6
+    # Force an AL outer update every K inner iterations so a slowly
+    # descending inner problem cannot starve multiplier updates (see
+    # solvers/ddp.py outer_update_every).
+    outer_update_every: int = 10
     parallel_riccati: bool = False
     use_feedback_policy: bool = True
+    # Inner QP backend: "riccati" (exact, scan — HPIPM-class) or "pipg"
+    # (first-order horizon-parallel, the SLP configuration; ocs2_slp).
+    qp_solver: str = "riccati"
+    pipg_iterations: int = 2000
+    ruiz_iterations: int = 5
 
 
 class SqpSolution(NamedTuple):
@@ -107,6 +122,8 @@ class _Carry(NamedTuple):
     al: AlState
     merit: Array
     viol: Array
+    best_cviol: Array  # best constraint-only violation at last outer update
+    since_outer: Array
     it: Array
     done: Array
     gains: Array
@@ -150,7 +167,7 @@ def solve(
     aug = augment_problem(problem, project_equalities=project)
     dims = problem.constraint_dims(_example_params(params))
     if al_init is None:
-        al_init = AlState.init(dims, n, settings.al_rho_init)
+        al_init = AlState.init(dims, n, settings.al_rho_init, dtype=x0.dtype)
     if us_init is None:
         us_init = jnp.zeros((n, nu), x0.dtype)
     if xs_init is None:
@@ -200,17 +217,43 @@ def solve(
         if settings.convexify:
             coeffs = convexify(coeffs, settings.hessian_reg)
 
-        backward = lqr_backward_parallel if settings.parallel_riccati else lqr_backward
+        def solve_qp(qp_coeffs):
+            """Inner QP: exact Riccati scan, or first-order PIPG (the SLP
+            configuration — Ruiz equilibration + extrapolated PIPG,
+            solvers/slp.py; reference SlpSolver.cpp:246-283)."""
+            if settings.qp_solver == "pipg":
+                from ..ops.pipg import PipgSettings, pipg_solve, ruiz_equilibrate
+
+                scaled, scal = ruiz_equilibrate(
+                    qp_coeffs, settings.ruiz_iterations
+                )
+                psol = pipg_solve(
+                    scaled,
+                    PipgSettings(num_iterations=settings.pipg_iterations),
+                )
+                dxs = scal.d_x * psol.dxs
+                dus_r = scal.d_u * psol.dus
+                nv = qp_coeffs.B.shape[-1]
+                zero_gains = jnp.zeros((n, nv, nx), x0.dtype)
+                value = (
+                    jnp.zeros((n + 1, nx, nx), x0.dtype),
+                    jnp.zeros((n + 1, nx), x0.dtype),
+                )
+                return dxs, dus_r, zero_gains, value
+            backward = (
+                lqr_backward_parallel if settings.parallel_riccati else lqr_backward
+            )
+            sol = backward(qp_coeffs)
+            dxs, dus_r = lqr_forward(qp_coeffs, sol, jnp.zeros((nx,), x0.dtype))
+            return dxs, dus_r, sol.gains, (sol.value_S, sol.value_s)
+
         if project:
             reduced, proj = project_lqr_coeffs(coeffs, lq.eq.f, lq.eq.dfdx, lq.eq.dfdu)
-            sol = backward(reduced)
-            dxs, dvs = lqr_forward(reduced, sol, jnp.zeros((nx,), x0.dtype))
+            dxs, dvs, gains_r, (value_S, value_s) = solve_qp(reduced)
             dus = remap_projected_input(proj, dxs[:-1], dvs)
-            gains = remap_projected_gain(proj, sol.gains)
+            gains = remap_projected_gain(proj, gains_r)
         else:
-            sol = backward(coeffs)
-            dxs, dus = lqr_forward(coeffs, sol, jnp.zeros((nx,), x0.dtype))
-            gains = sol.gains
+            dxs, dus, gains, (value_S, value_s) = solve_qp(coeffs)
 
         # Filter line search over the alpha grid (FilterLinesearch.h:44).
         def try_alpha(alpha):
@@ -252,42 +295,74 @@ def solve(
         viol_n = jnp.where(any_ok, viols[first_ok], c.viol)
         merit_n = jnp.where(any_ok, merits[first_ok], c.merit)
 
-        # AL outer update (inequalities and unprojected equalities).
-        feasible = viol_n < settings.dynamics_tol * 10.0
-        improved = jnp.logical_or(viol_n <= 0.25 * c.viol, feasible)
-        take_dual = jnp.logical_and(any_ok, improved)
+        # -- AL outer loop (LANCELOT schedule) --------------------------------
+        # Inner problem = minimize the AL merit at FIXED (lambda, rho); outer
+        # updates fire only when the inner iteration is stationary (tiny
+        # relative merit decrease, or a failed line search).  Growing rho per
+        # SQP step — before the inner problem converges — explodes the merit
+        # and stalls the line search (the reference instead updates penalties
+        # between full solver iterations, GaussNewtonDDP penalty update).
+        rel_cost = jnp.abs(c.merit - merit_n) / jnp.maximum(jnp.abs(c.merit), 1e-12)
+        inner_conv = jnp.logical_or(
+            jnp.logical_and(any_ok, rel_cost < settings.cost_tol), ~any_ok
+        )
+        outer_due = jnp.logical_or(
+            inner_conv, c.since_outer >= settings.outer_update_every
+        )
+        # Constraint-only violation drives dual-vs-penalty choice (defects are
+        # the QP's job, not the AL's).
+        cviol_n = jnp.sqrt(metrics_n.eq_sse + metrics_n.ineq_sse)
+        c_feasible = cviol_n < settings.constraint_tol
+        improved = jnp.logical_or(cviol_n <= 0.5 * c.best_cviol, c_feasible)
+        take_dual = jnp.logical_and(outer_due, improved)
+        take_rho = jnp.logical_and(outer_due, ~improved)
         dual = al_dual_ascent(metrics_n, c.al)
         al_n = jax.tree.map(
             lambda new, old: jnp.where(take_dual, new, old), dual, c.al
         )
         al_n = al_n._replace(
             rho=jnp.where(
-                jnp.logical_and(any_ok, ~improved),
+                take_rho,
                 jnp.minimum(c.al.rho * settings.al_rho_growth, settings.al_rho_max),
                 al_n.rho,
             )
         )
+        best_cviol = jnp.where(
+            outer_due, jnp.minimum(c.best_cviol, cviol_n), c.best_cviol
+        )
         merit_carry = jnp.where(any_ok, al_merit(metrics_n, al_n), c.merit)
 
-        # Convergence (reference SqpSolver convergence: small step AND gaps).
-        step_norm = jnp.sqrt(
-            jnp.sum(jnp.square(alphas[first_ok] * dxs))
-            + jnp.sum(jnp.square(alphas[first_ok] * dus))
+        # Converged = inner stationary AND total violation (defects +
+        # constraints) within tolerance (reference SqpSolver convergence),
+        # OR the accepted primal step is negligible while feasible
+        # (Convergence::PRIMAL, SqpSolver.cpp:574-577 — gated on feasibility
+        # here so a stalled-but-infeasible AL outer loop keeps growing rho).
+        alpha_acc = alphas[first_ok]
+        dx_rms = alpha_acc * jnp.sqrt(jnp.mean(jnp.square(dxs)))
+        du_rms = alpha_acc * jnp.sqrt(jnp.mean(jnp.square(dus)))
+        primal_conv = jnp.logical_and(
+            any_ok,
+            jnp.logical_and(
+                dx_rms < settings.delta_tol, du_rms < settings.delta_tol
+            ),
         )
-        rel_cost = jnp.abs(c.merit - merit_n) / jnp.maximum(jnp.abs(c.merit), 1e-12)
-        conv = jnp.logical_and(
-            jnp.logical_and(rel_cost < settings.cost_tol, feasible), any_ok
+        done = jnp.logical_or(
+            jnp.logical_and(primal_conv, c_feasible),
+            jnp.logical_and(inner_conv, viol_n < settings.constraint_tol),
         )
-        done = jnp.logical_or(conv, jnp.logical_and(~any_ok, c.it > 0))
         return _Carry(
             xs=xs_n, us=us_n, al=al_n, merit=merit_carry, viol=viol_n,
+            best_cviol=best_cviol,
+            since_outer=jnp.where(outer_due, 0, c.since_outer + 1),
             it=c.it + 1, done=done,
-            gains=gains, value_S=sol.value_S, value_s=sol.value_s,
+            gains=gains, value_S=value_S, value_s=value_s,
         )
 
     init = _Carry(
         xs=xs_init, us=us_init, al=al_init, merit=merit0,
         viol=jnp.asarray(jnp.inf, x0.dtype),
+        best_cviol=jnp.asarray(jnp.inf, x0.dtype),
+        since_outer=jnp.zeros((), jnp.int32),
         it=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
         gains=jnp.zeros((n, nu, nx), x0.dtype),

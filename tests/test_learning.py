@@ -1,0 +1,122 @@
+"""MPC-Net learning tests (reference ocs2_mpcnet: Hamiltonian loss, replay
+memory, policies, and a tiny end-to-end training run on the double
+integrator — the reference's ballbot training smoke test scaled down)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocs2_tpu.learning.loss import (
+    HamiltonianApprox,
+    behavioral_cloning_loss,
+    cross_entropy_loss,
+    hamiltonian_loss,
+)
+from ocs2_tpu.learning.memory import CircularMemory
+from ocs2_tpu.learning.mpcnet import Mpcnet, MpcnetSettings
+from ocs2_tpu.learning.policy import (
+    LinearPolicy,
+    MixtureOfNonlinearExpertsPolicy,
+    NonlinearPolicy,
+)
+from ocs2_tpu.models import double_integrator
+from ocs2_tpu.solvers import sqp
+
+
+class TestLosses:
+    def test_hamiltonian_minimum_at_ustar(self):
+        hammy = HamiltonianApprox(
+            h0=jnp.zeros(()), hu=jnp.zeros(2), Huu=jnp.eye(2)
+        )
+        u_star = jnp.array([0.3, -0.1])
+        assert float(hamiltonian_loss(hammy, u_star, u_star)) == 0.0
+        assert float(hamiltonian_loss(hammy, u_star + 0.5, u_star)) > 0.0
+
+    def test_bc_loss(self):
+        r = jnp.eye(2)
+        v = float(
+            behavioral_cloning_loss(jnp.array([1.0, 0.0]), jnp.zeros(2), r)
+        )
+        assert abs(v - 1.0) < 1e-6
+
+    def test_cross_entropy(self):
+        gates = jnp.array([[0.9, 0.1]])
+        target = jnp.array([[1.0, 0.0]])
+        assert float(cross_entropy_loss(gates, target)) < 0.2
+
+
+class TestMemory:
+    def test_push_sample_wraparound(self):
+        mem = CircularMemory.create({"x": jnp.zeros(2)}, capacity=4)
+        push = jax.jit(lambda m, s: m.push(s))
+        for i in range(6):
+            mem = push(mem, {"x": jnp.full((2,), float(i))})
+        assert int(mem.size) == 4
+        assert int(mem.head) == 2
+        # Oldest entries (0, 1) were overwritten by (4, 5).
+        vals = sorted(np.asarray(mem.data["x"])[:, 0].tolist())
+        assert vals == [2.0, 3.0, 4.0, 5.0]
+        batch = mem.sample(jax.random.PRNGKey(0), 8)
+        assert batch["x"].shape == (8, 2)
+        assert float(jnp.min(batch["x"][:, 0])) >= 2.0
+
+
+class TestPolicies:
+    def test_shapes(self):
+        obs = jnp.ones(4)
+        for module in (
+            LinearPolicy(action_dim=2),
+            NonlinearPolicy(action_dim=2),
+            MixtureOfNonlinearExpertsPolicy(action_dim=2, num_experts=3),
+        ):
+            params = module.init(jax.random.PRNGKey(0), obs)
+            u = module.apply(params, obs)
+            assert u.shape == (2,)
+
+    def test_mixture_gates_sum_to_one(self):
+        module = MixtureOfNonlinearExpertsPolicy(action_dim=2, num_experts=3)
+        obs = jnp.ones(4)
+        params = module.init(jax.random.PRNGKey(0), obs)
+        _, gates = module.apply(params, obs, method=module.apply_with_gates)
+        assert abs(float(jnp.sum(gates)) - 1.0) < 1e-5
+
+
+class TestEndToEnd:
+    def test_training_reduces_hamiltonian_loss(self):
+        """Tiny MPC-Net run on the double integrator: the learned policy must
+        end closer to the MPC than the untrained one (reference
+        ocs2_ballbot_mpcnet/train.py smoke run)."""
+        problem = double_integrator.make_problem()
+        params = double_integrator.make_params()
+        settings = MpcnetSettings(
+            rollout_steps=5,
+            control_dt=0.1,
+            batch_size=16,
+            learning_rate=1e-2,
+            learning_iterations=250,
+            memory_capacity=512,
+            data_scenarios=4,
+            rounds=3,
+            mpc_horizon=1.0,
+            mpc_intervals=10,
+            solver_settings=sqp.SqpSettings(max_iterations=4),
+        )
+        net = Mpcnet(
+            problem, params, LinearPolicy(action_dim=problem.nu),
+            settings=settings,
+        )
+
+        def x0_sampler(key, n):
+            return jax.random.uniform(key, (n, 2), minval=-1.0, maxval=1.0)
+
+        key = jax.random.PRNGKey(0)
+        net_params, losses = net.train(key, x0_sampler)
+        assert np.isfinite(losses[-1])
+
+        # Evaluation: the trained policy survives and tracks the MPC.
+        metrics = jax.jit(
+            lambda p: net.evaluate(p, jnp.zeros(()), jnp.array([1.0, 0.0]))
+        )(net_params)
+        assert float(metrics["survival_time"]) == settings.rollout_steps * 0.1
+        # LQ problem + linear policy: the learned policy can represent the MPC
+        # exactly; incurred Hamiltonian should be small.
+        assert float(metrics["incurred_hamiltonian"]) < 1.0

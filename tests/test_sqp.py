@@ -52,22 +52,21 @@ class TestUnconstrained:
 def make_circular_kinematics():
     """2D kinematic point constrained to its initial circle — the reference's
     canonical projected-equality fixture (ocs2_oc/test/include/ocs2_oc/test/
-    circular_kinematics.h: dynamics x' = u, constraint x.u = 0, cost tracks
-    a point rotating on the unit circle)."""
+    circular_kinematics.h:73-83: dynamics x' = u, constraint x.u = 0, cost
+    0.5*(x0*u1 - x1*u0 - 1)^2 + 0.005*|u|^2 driving unit angular rate)."""
 
     def dynamics(t, x, u, p):
         return u
 
-    def tracking_cost(t, x, u, p):
-        ref = jnp.array([jnp.cos(t), jnp.sin(t)])
-        return 0.5 * jnp.sum((x - ref) ** 2) + 0.005 * jnp.sum(u**2)
+    def rate_cost(t, x, u, p):
+        return 0.5 * (x[0] * u[1] - x[1] * u[0] - 1.0) ** 2 + 0.005 * (u @ u)
 
     def tangential(t, x, u, p):
         return jnp.array([x @ u])  # stay on the circle of radius |x0|
 
     return OptimalControlProblem(
         dynamics=dynamics,
-        cost_terms=(tracking_cost,),
+        cost_terms=(rate_cost,),
         equality_terms=(tangential,),
         nx=2,
         nu=2,
