@@ -113,10 +113,13 @@ class AugmentedPenalty:
     """Equality/inequality augmented-Lagrangian term.
 
     value(lmbd, rho, h): AL contribution added to the merit.
+    derivatives(lmbd, rho, h): PenaltyValue (value, d/dh, d2/dh2) — consumed
+      by the Gauss-Newton term quadratization (oc/problem.GaussNewtonCost).
     multiplier_update(lmbd, rho, h): next multiplier (dual ascent step).
     """
 
     value: Callable[[Array, Array, Array], Array]
+    derivatives: Callable[[Array, Array, Array], PenaltyValue]
     multiplier_update: Callable[[Array, Array, Array], Array]
 
 
@@ -127,8 +130,17 @@ def al_quadratic_equality() -> AugmentedPenalty:
     (reference penalties/augmented/QuadraticPenalty.h).
     """
 
+    def value(lmbd, rho, h):
+        return -lmbd * h + 0.5 * rho * jnp.square(h)
+
+    def derivatives(lmbd, rho, h):
+        return PenaltyValue(
+            value(lmbd, rho, h), rho * h - lmbd, rho * jnp.ones_like(h)
+        )
+
     return AugmentedPenalty(
-        value=lambda lmbd, rho, h: -lmbd * h + 0.5 * rho * jnp.square(h),
+        value=value,
+        derivatives=derivatives,
         multiplier_update=lambda lmbd, rho, h: lmbd - rho * h,
     )
 
@@ -146,10 +158,19 @@ def al_hinge_inequality() -> AugmentedPenalty:
             lmbd
         ) / (2.0 * rho)
 
+    def derivatives(lmbd, rho, h):
+        slack = jnp.maximum(lmbd / rho - h, 0.0)
+        active = (slack > 0.0).astype(h.dtype)
+        return PenaltyValue(
+            0.5 * rho * jnp.square(slack) - jnp.square(lmbd) / (2.0 * rho),
+            -rho * slack,
+            rho * active,
+        )
+
     def update(lmbd, rho, h):
         return jnp.maximum(lmbd - rho * h, 0.0)
 
-    return AugmentedPenalty(value=value, multiplier_update=update)
+    return AugmentedPenalty(value=value, derivatives=derivatives, multiplier_update=update)
 
 
 def modified_relaxed_barrier(mu: float = 1.0, delta: float = 1e-3) -> AugmentedPenalty:
@@ -165,8 +186,13 @@ def modified_relaxed_barrier(mu: float = 1.0, delta: float = 1e-3) -> AugmentedP
         del rho
         return barrier(h).value - lmbd * h
 
+    def derivatives(lmbd, rho, h):
+        del rho
+        b = barrier(h)
+        return PenaltyValue(b.value - lmbd * h, b.first - lmbd, b.second)
+
     def update(lmbd, rho, h):
         del rho
         return jnp.maximum(lmbd - barrier(h).first, 0.0)
 
-    return AugmentedPenalty(value=value, multiplier_update=update)
+    return AugmentedPenalty(value=value, derivatives=derivatives, multiplier_update=update)

@@ -79,15 +79,20 @@ def swing_normal_velocity(t, x, u, p):
     return (1.0 - c) * (v[:, 2] - vz_ref)
 
 
-def swing_height_tracking(t, x, p):
-    """Soft cost pulling swing feet toward the planned height profile
-    (stabilizes the swing shape; reference achieves this through the
-    normal-velocity constraint + reference joint trajectories)."""
+def _swing_height_error(t, x, p):
     c = contact_flags(p["mode"])
     feet = foot_positions_world(x)
     z_ref = p["swing_z"][p["node"]]
-    err = (1.0 - c) * (feet[:, 2] - z_ref)
-    return 20.0 * jnp.sum(err**2)
+    return (1.0 - c) * (feet[:, 2] - z_ref)
+
+
+# Soft cost pulling swing feet toward the planned height profile, as a
+# structured Gauss-Newton term: 20*sum(err^2) == 0.5*40*err^2 penalty
+# (stabilizes the swing shape; reference achieves this through the
+# normal-velocity constraint + reference joint trajectories).
+swing_height_tracking = soft_constraint(
+    _swing_height_error, pen.quadratic(scale=40.0), with_input=False
+)
 
 
 def make_friction_cone_soft(mu_barrier: float = 0.1, delta: float = 5.0):

@@ -27,20 +27,21 @@ from . import model
 from .gait import GAIT_MAP, GaitSchedule, ModeSequenceTemplate, stance_gait
 from .swing import plan_swing_references
 
-# Base-tracking weights in the spirit of the reference task.info Q/R.
+# Base-tracking weights matching the reference task.info Q/R
+# (ocs2_legged_robot/config/mpc/task.info:179-246).
 Q_DIAG = jnp.concatenate(
     [
-        jnp.array([15.0, 15.0, 100.0]),  # com velocity
-        jnp.array([10.0, 30.0, 30.0]),  # normalized angular momentum
-        jnp.array([1000.0, 1000.0, 1500.0]),  # base position
-        jnp.array([100.0, 300.0, 300.0]),  # base orientation
-        jnp.full((12,), 5.0),  # joint angles
+        jnp.array([15.0, 15.0, 30.0]),  # com velocity
+        jnp.array([5.0, 10.0, 10.0]),  # normalized angular momentum
+        jnp.array([500.0, 500.0, 500.0]),  # base position
+        jnp.array([100.0, 200.0, 200.0]),  # base orientation (z, y, x)
+        jnp.full((12,), 20.0),  # joint angles
     ]
 )
 R_DIAG = jnp.concatenate(
     [
         jnp.full((12,), 1e-3),  # contact forces
-        jnp.full((12,), 1e-2),  # joint velocities
+        jnp.full((12,), 5.0),  # joint velocities (5000 * 1e-3 scaling)
     ]
 )
 
@@ -74,9 +75,11 @@ def make_problem(
     return problem
 
 
-def _swing_velocity_soft(t, x, u, p):
-    g = con.swing_normal_velocity(t, x, u, p)
-    return 50.0 * jnp.sum(g**2)
+# 50*sum(g^2) as a structured Gauss-Newton quadratic-penalty term.
+from ...core import penalties as _pen  # noqa: E402
+from ...oc.problem import soft_constraint as _soft  # noqa: E402
+
+_swing_velocity_soft = _soft(con.swing_normal_velocity, _pen.quadratic(100.0))
 
 
 def default_target(x0=None) -> TargetTrajectories:

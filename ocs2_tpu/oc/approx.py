@@ -90,15 +90,107 @@ def quadratize_state_scalar(fn, x: Array, nu: int) -> ScalarQuadraticApproximati
 
 
 def linearize_vector(fn, x: Array, u: Optional[Array]) -> VectorLinearApproximation:
+    """Constraint linearization via one joint jacrev — one reverse pass per
+    constraint row (constraints have few rows, states+inputs have many)."""
     if u is None:
         return VectorLinearApproximation(
-            f=fn(x), dfdx=jax.jacfwd(fn)(x), dfdu=None
+            f=fn(x), dfdx=jax.jacrev(fn)(x), dfdu=None
         )
-    return VectorLinearApproximation(
-        f=fn(x, u),
-        dfdx=jax.jacfwd(lambda xx: fn(xx, u))(x),
-        dfdu=jax.jacfwd(lambda uu: fn(x, uu))(u),
+    nx = x.shape[0]
+    z = jnp.concatenate([x, u])
+    fz = lambda zz: fn(zz[:nx], zz[nx:])  # noqa: E731
+    jac = jax.jacrev(fz)(z)
+    return VectorLinearApproximation(f=fz(z), dfdx=jac[:, :nx], dfdu=jac[:, nx:])
+
+
+def _split_terms(terms):
+    structured = tuple(t for t in terms if hasattr(t, "quad_approx"))
+    plain = tuple(t for t in terms if not hasattr(t, "quad_approx"))
+    return structured, plain
+
+
+def _scale_quad(q: ScalarQuadraticApproximation, s):
+    return jax.tree.map(
+        lambda a: None if a is None else s * a, q, is_leaf=lambda v: v is None
     )
+
+
+def _pad_state_quad(q: ScalarQuadraticApproximation, nu: int):
+    """Extend a state-only approximation with zero input blocks."""
+    nx = q.dfdx.shape[-1]
+    dt = q.dfdx.dtype
+    return ScalarQuadraticApproximation(
+        f=q.f,
+        dfdx=q.dfdx,
+        dfdu=jnp.zeros((nu,), dt),
+        dfdxx=q.dfdxx,
+        dfdux=jnp.zeros((nu, nx), dt),
+        dfduu=jnp.zeros((nu, nu), dt),
+    )
+
+
+def quadratize_running_cost(problem, t, dt, x, u, p, jump_mask):
+    """Term-structured quadratization of the node's running cost.
+
+    Structured terms (quad_approx — closed-form quadratics, Gauss-Newton
+    penalty terms) are summed analytically; only the remaining plain
+    callables go through generic forward-over-reverse AD.  Mirrors the
+    reference's per-term LQ assembly (LinearQuadraticApproximator.h:51 sums
+    term approximations), which is Gauss-Newton — and on TPU avoids paying
+    ~nz HVPs through kinematics-heavy terms.
+    """
+    nu = u.shape[0]
+    s_xu, p_xu = _split_terms(problem.cost_terms)
+    s_x, p_x = _split_terms(problem.state_cost_terms)
+
+    parts = [_scale_quad(term.quad_approx(t, x, u, p), dt) for term in s_xu]
+    parts += [
+        _scale_quad(_pad_state_quad(term.quad_approx(t, x, p), nu), dt)
+        for term in s_x
+    ]
+
+    if p_xu or p_x or problem.pre_jump_cost_terms:
+
+        def plain_cost(xx, uu):
+            run = jnp.zeros((), x.dtype)
+            for term in p_xu:
+                run = run + term(t, xx, uu, p)
+            for term in p_x:
+                run = run + term(t, xx, p)
+            run = dt * run
+            if problem.pre_jump_cost_terms:
+                run = run + jump_mask * problem.pre_jump_cost(t, xx, p)
+            return run
+
+        parts.append(quadratize_scalar(plain_cost, x, u))
+
+    if not parts:
+        return ScalarQuadraticApproximation.zeros(x.shape[0], nu, x.dtype)
+    total = parts[0]
+    for q in parts[1:]:
+        total = total + q
+    return total
+
+
+def quadratize_final_cost(problem, t, x, p, nu: int):
+    """Term-structured quadratization of the terminal cost (zero u blocks)."""
+    s_f, p_f = _split_terms(problem.final_cost_terms)
+    parts = [_pad_state_quad(term.quad_approx(t, x, p), nu) for term in s_f]
+    if p_f:
+
+        def plain_cost(xx):
+            run = jnp.zeros((), x.dtype)
+            for term in p_f:
+                run = run + term(t, xx, p)
+            return run
+
+        parts.append(quadratize_state_scalar(plain_cost, x, nu))
+    if not parts:
+        return ScalarQuadraticApproximation.zeros(x.shape[0], nu, x.dtype)
+    total = parts[0]
+    for q in parts[1:]:
+        total = total + q
+    return total
 
 
 def node_params(params: Any, grid: TimeGrid, k):
@@ -152,14 +244,9 @@ def approximate_lq(
         )
 
         # Running cost, dt-weighted; pre-jump cost on jump transitions
-        # (reference approximatePreJumpLQ).
-        def cost_fn(xx, uu):
-            run = dt * problem.cost(t, xx, uu, p)
-            if problem.pre_jump_cost_terms:
-                run = run + m * problem.pre_jump_cost(t, xx, p)
-            return run
-
-        cost = quadratize_scalar(cost_fn, x, u)
+        # (reference approximatePreJumpLQ).  Term-structured: closed-form /
+        # Gauss-Newton where terms provide it, AD fallback otherwise.
+        cost = quadratize_running_cost(problem, t, dt, x, u, p, m)
 
         eq = (
             linearize_vector(lambda xx, uu: problem.equality(t, xx, uu, p), x, u)
@@ -189,7 +276,7 @@ def approximate_lq(
     tN = grid.times[n]
     xN = xs[n]
     pN = node_params(params, grid, n)
-    cost_f = quadratize_state_scalar(lambda xx: problem.final_cost(tN, xx, pN), xN, nu)
+    cost_f = quadratize_final_cost(problem, tN, xN, pN, nu)
     seq_f = (
         linearize_vector(lambda xx: problem.state_equality(tN, xx, pN), xN, None)
         if problem.state_equality_terms

@@ -138,57 +138,156 @@ class OptimalControlProblem:
 
 
 # --------------------------------------------------------------------------
-# Common term constructors.
+# Structured cost terms (term-wise quadratization).
+#
+# A cost term may expose ``quad_approx(t, x, u, p)`` (or ``(t, x, p)`` for
+# state-only terms) returning a ScalarQuadraticApproximation.  The LQ
+# approximator (oc/approx.py) sums structured approximations in closed form
+# and only runs generic forward-over-reverse AD on the remaining plain
+# callables.  This is the reference's Gauss-Newton structure — analytic
+# Hessians for quadratic costs (QuadraticStateInputCost.h) and
+# penalty''·J'J for soft constraints — and on TPU it removes the dominant
+# cost of the whole solve (full Hessians of kinematics-heavy terms).
 # --------------------------------------------------------------------------
 
 
-def quadratic_cost(Q, R, target_key: str = "target"):
+class QuadraticTrackingCost:
     """Tracking cost 0.5 (x-x*)'Q(x-x*) + 0.5 (u-u*)'R(u-u*).
 
     The target is read from params[target_key] (a TargetTrajectories), matching
     the reference's QuadraticStateInputCost + TargetTrajectories pattern
-    (ocs2_core/cost/QuadraticStateInputCost.h).
+    (ocs2_core/cost/QuadraticStateInputCost.h).  Closed-form quadratization.
     """
-    Q = jnp.asarray(Q)
-    R = jnp.asarray(R)
 
-    def cost(t, x, u, p):
-        tt = p[target_key]
-        dx = x - tt.state_at(t)
-        du = u - tt.input_at(t)
-        return 0.5 * dx @ Q @ dx + 0.5 * du @ R @ du
+    def __init__(self, Q, R, target_key: str = "target"):
+        self.Q = jnp.asarray(Q)
+        self.R = jnp.asarray(R)
+        self.target_key = target_key
 
-    return cost
+    def _deltas(self, t, x, u, p):
+        tt = p[self.target_key]
+        return x - tt.state_at(t), u - tt.input_at(t)
+
+    def __call__(self, t, x, u, p):
+        dx, du = self._deltas(t, x, u, p)
+        return 0.5 * dx @ self.Q @ dx + 0.5 * du @ self.R @ du
+
+    def quad_approx(self, t, x, u, p):
+        from ..core.types import ScalarQuadraticApproximation
+
+        dx, du = self._deltas(t, x, u, p)
+        qx = self.Q @ dx
+        ru = self.R @ du
+        return ScalarQuadraticApproximation(
+            f=0.5 * dx @ qx + 0.5 * du @ ru,
+            dfdx=qx,
+            dfdu=ru,
+            dfdxx=self.Q,
+            dfdux=jnp.zeros((u.shape[0], x.shape[0]), x.dtype),
+            dfduu=self.R,
+        )
+
+
+def quadratic_cost(Q, R, target_key: str = "target"):
+    return QuadraticTrackingCost(Q, R, target_key)
+
+
+class QuadraticStateCost:
+    """0.5 (x-x*)'Qf(x-x*) — state-only / final tracking, closed form."""
+
+    def __init__(self, Qf, target_key: str = "target"):
+        self.Qf = jnp.asarray(Qf)
+        self.target_key = target_key
+
+    def __call__(self, t, x, p):
+        dx = x - p[self.target_key].state_at(t)
+        return 0.5 * dx @ self.Qf @ dx
+
+    def quad_approx(self, t, x, p):
+        from ..core.types import ScalarQuadraticApproximation
+
+        dx = x - p[self.target_key].state_at(t)
+        qx = self.Qf @ dx
+        return ScalarQuadraticApproximation(
+            f=0.5 * dx @ qx, dfdx=qx, dfdu=None,
+            dfdxx=self.Qf, dfdux=None, dfduu=None,
+        )
 
 
 def quadratic_final_cost(Qf, target_key: str = "target"):
-    Qf = jnp.asarray(Qf)
+    return QuadraticStateCost(Qf, target_key)
 
-    def cost(t, x, p):
-        dx = x - p[target_key].state_at(t)
-        return 0.5 * dx @ Qf @ dx
 
-    return cost
+class GaussNewtonCost:
+    """Penalty-of-constraint cost  sum_i phi_i(g_i(t,x,u,p))  with
+    Gauss-Newton quadratization:  grad = J'phi',  Hess = J' diag(phi'') J
+    (constraint curvature dropped — exactly the reference's soft-constraint /
+    penalty treatment, ocs2_core soft_constraint + Gauss-Newton DDP).
+
+    ``penalty_fn(h, p) -> PenaltyValue`` may read parameters (e.g. AL
+    multipliers) from p.  The constraint Jacobian is computed with jacrev —
+    one reverse pass per constraint row, which for the typical few-row
+    constraint beats differentiating a full Hessian by an order of magnitude.
+    """
+
+    def __init__(self, g_fn, penalty_fn, with_input: bool = True):
+        self.g_fn = g_fn
+        self.penalty_fn = penalty_fn
+        self.with_input = with_input
+
+    def __call__(self, *args):
+        p = args[-1]
+        h = jnp.atleast_1d(self.g_fn(*args))
+        return jnp.sum(self.penalty_fn(h, p).value)
+
+    def quad_approx(self, *args):
+        from ..core.types import ScalarQuadraticApproximation
+
+        p = args[-1]
+        if self.with_input:
+            t, x, u, _ = args
+            nx = x.shape[0]
+            z = jnp.concatenate([x, u])
+            gz = lambda zz: jnp.atleast_1d(  # noqa: E731
+                self.g_fn(t, zz[:nx], zz[nx:], p)
+            )
+        else:
+            t, x, _ = args
+            z = x
+            gz = lambda zz: jnp.atleast_1d(self.g_fn(t, zz, p))  # noqa: E731
+        g = gz(z)
+        jac = jax.jacrev(gz)(z)  # [ng, nz]
+        pv = self.penalty_fn(g, p)
+        grad = jac.T @ pv.first
+        hess = (jac * pv.second[:, None]).T @ jac
+        f = jnp.sum(pv.value)
+        if not self.with_input:
+            return ScalarQuadraticApproximation(
+                f=f, dfdx=grad, dfdu=None, dfdxx=hess, dfdux=None, dfduu=None
+            )
+        nx = args[1].shape[0]
+        return ScalarQuadraticApproximation(
+            f=f,
+            dfdx=grad[:nx],
+            dfdu=grad[nx:],
+            dfdxx=hess[:nx, :nx],
+            dfdux=hess[nx:, :nx],
+            dfduu=hess[nx:, nx:],
+        )
+
+
+# --------------------------------------------------------------------------
+# Common term constructors.
+# --------------------------------------------------------------------------
 
 
 def soft_constraint(constraint_fn: ConstraintFn, penalty: pen.Penalty, with_input=True):
     """Fold an inequality constraint h>=0 into a cost term via a penalty —
     the reference's StateInputSoftConstraint (soft_constraint/
-    StateInputSoftConstraint.h)."""
-
-    if with_input:
-
-        def cost(t, x, u, p):
-            h = jnp.atleast_1d(constraint_fn(t, x, u, p))
-            return jnp.sum(penalty(h).value)
-
-    else:
-
-        def cost(t, x, p):
-            h = jnp.atleast_1d(constraint_fn(t, x, p))
-            return jnp.sum(penalty(h).value)
-
-    return cost
+    StateInputSoftConstraint.h).  Returns a structured Gauss-Newton term."""
+    return GaussNewtonCost(
+        constraint_fn, lambda h, p: penalty(h), with_input=with_input
+    )
 
 
 def soft_box_input_constraint(lower, upper, penalty: pen.Penalty):

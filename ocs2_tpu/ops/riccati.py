@@ -66,30 +66,59 @@ def _solve_psd(M: Array, rhs: Array) -> Array:
     return jax.scipy.linalg.cho_solve(chol, rhs)
 
 
-def convexify(coeffs: LqrCoeffs, min_eig: float = 1e-5) -> LqrCoeffs:
-    """Project every stage's joint Hessian [[Qxx, Qux'], [Qux, Quu]] (and the
-    terminal Qf) onto the PSD cone by eigenvalue clamping.
+def convexify(
+    coeffs: LqrCoeffs, min_eig: float = 1e-5, method: str = "gershgorin"
+) -> LqrCoeffs:
+    """Make every stage's joint Hessian [[Qxx, Qux'], [Qux, Quu]] (and the
+    terminal Qf) positive semidefinite.
 
-    The TPU-native analogue of the reference's Hessian correction strategies
-    (ocs2_ddp/riccati_equations/HessianCorrection.h — shift-eigenvalue):
-    exact Hessians of nonconvex terms can be indefinite, which breaks the
-    Riccati Cholesky; one batched eigh over the horizon restores a convex
-    subproblem with the same first-order model.
+    TPU-native analogue of the reference's Hessian correction strategies
+    (ocs2_ddp/include/ocs2_ddp/HessianCorrection.h:44 — DIAGONAL_SHIFT /
+    EIGENVALUE_MODIFICATION / GERSHGORIN_MODIFICATION): exact Hessians of
+    nonconvex terms can be indefinite, which breaks the Riccati Cholesky.
+
+    method="gershgorin" (default): shift by the Gershgorin lower bound —
+    pure elementwise/reduction work, ~10x faster than eigh on TPU where a
+    48x48 eigh per node dominates the whole SQP iteration.  A PSD matrix
+    with dominant diagonal gets zero shift, so the common (convex-cost)
+    case is untouched.  method="eigh": exact eigenvalue clamping.
     """
     nx = coeffs.Qxx.shape[-1]
 
-    def stage(qxx, qux, quu):
-        z = jnp.block([[qxx, qux.T], [qux, quu]])
-        z = 0.5 * (z + z.T)
-        w, v = jnp.linalg.eigh(z)
-        z = (v * jnp.maximum(w, min_eig)) @ v.T
-        return z[:nx, :nx], z[nx:, :nx], z[nx:, nx:]
+    if method == "gershgorin":
+
+        def stage(qxx, qux, quu):
+            z = jnp.block([[qxx, qux.T], [qux, quu]])
+            z = 0.5 * (z + z.T)
+            diag = jnp.diagonal(z)
+            radius = jnp.sum(jnp.abs(z), axis=-1) - jnp.abs(diag)
+            lb = jnp.min(diag - radius)
+            shift = jnp.maximum(0.0, min_eig - lb)
+            z = z + shift * jnp.eye(z.shape[-1], dtype=z.dtype)
+            return z[:nx, :nx], z[nx:, :nx], z[nx:, nx:]
+
+        def final(qf):
+            z = 0.5 * (qf + qf.T)
+            diag = jnp.diagonal(z)
+            radius = jnp.sum(jnp.abs(z), axis=-1) - jnp.abs(diag)
+            shift = jnp.maximum(0.0, min_eig - jnp.min(diag - radius))
+            return z + shift * jnp.eye(nx, dtype=z.dtype)
+
+    else:  # "eigh": exact eigenvalue clamping
+
+        def stage(qxx, qux, quu):
+            z = jnp.block([[qxx, qux.T], [qux, quu]])
+            z = 0.5 * (z + z.T)
+            w, v = jnp.linalg.eigh(z)
+            z = (v * jnp.maximum(w, min_eig)) @ v.T
+            return z[:nx, :nx], z[nx:, :nx], z[nx:, nx:]
+
+        def final(qf):
+            wf, vf = jnp.linalg.eigh(0.5 * (qf + qf.T))
+            return (vf * jnp.maximum(wf, min_eig)) @ vf.T
 
     qxx, qux, quu = jax.vmap(stage)(coeffs.Qxx, coeffs.Qux, coeffs.Quu)
-
-    wf, vf = jnp.linalg.eigh(0.5 * (coeffs.Qf + coeffs.Qf.T))
-    qf = (vf * jnp.maximum(wf, min_eig)) @ vf.T
-    return coeffs._replace(Qxx=qxx, Qux=qux, Quu=quu, Qf=qf)
+    return coeffs._replace(Qxx=qxx, Qux=qux, Quu=quu, Qf=final(coeffs.Qf))
 
 
 def lqr_backward(coeffs: LqrCoeffs, reg: Array | float = 0.0) -> LqrSolution:

@@ -73,58 +73,55 @@ def augment_problem(
     left out (they are handled exactly by null-space projection instead,
     reference Transcription.h:87 / GaussNewtonDDP projection).
     """
+    from ..oc.problem import GaussNewtonCost
+
     extra_cost = []
     extra_state_cost = []
     extra_final = []
 
-    if problem.equality_terms and not project_equalities:
-
-        def al_eq(t, x, u, p):
-            g = problem.equality(t, x, u, p)
+    def pen_fn(apen, lmbd_of):
+        def penalty_fn(h, p):
             al: AlState = p["al"]
-            lmbd = al.lmbd_eq[p["node"]]
-            return jnp.sum(_EQ_PEN.value(lmbd, al.rho, g))
+            return apen.derivatives(lmbd_of(al, p), al.rho, h)
 
-        extra_cost.append(al_eq)
+        return penalty_fn
+
+    # Each AL term is a structured Gauss-Newton cost: the LQ approximator
+    # consumes psi', psi'' and the constraint Jacobian directly (reference:
+    # augmented-Lagrangian quadratic approximation in LinearQuadraticApproximator
+    # uses the constraint linearization, not constraint Hessians).
+    if problem.equality_terms and not project_equalities:
+        extra_cost.append(GaussNewtonCost(
+            problem.equality,
+            pen_fn(_EQ_PEN, lambda al, p: al.lmbd_eq[p["node"]]),
+        ))
 
     if problem.inequality_terms:
-
-        def al_ineq(t, x, u, p):
-            h = problem.inequality(t, x, u, p)
-            al: AlState = p["al"]
-            lmbd = al.lmbd_ineq[p["node"]]
-            return jnp.sum(_INEQ_PEN.value(lmbd, al.rho, h))
-
-        extra_cost.append(al_ineq)
+        extra_cost.append(GaussNewtonCost(
+            problem.inequality,
+            pen_fn(_INEQ_PEN, lambda al, p: al.lmbd_ineq[p["node"]]),
+        ))
 
     if problem.state_equality_terms:
-
-        def al_seq(t, x, p):
-            g = problem.state_equality(t, x, p)
-            al: AlState = p["al"]
-            lmbd = al.lmbd_state_eq[p["node"]]
-            return jnp.sum(_EQ_PEN.value(lmbd, al.rho, g))
-
-        extra_state_cost.append(al_seq)
+        extra_state_cost.append(GaussNewtonCost(
+            problem.state_equality,
+            pen_fn(_EQ_PEN, lambda al, p: al.lmbd_state_eq[p["node"]]),
+            with_input=False,
+        ))
 
     if problem.state_inequality_terms:
-
-        def al_sineq(t, x, p):
-            h = problem.state_inequality(t, x, p)
-            al: AlState = p["al"]
-            lmbd = al.lmbd_state_ineq[p["node"]]
-            return jnp.sum(_INEQ_PEN.value(lmbd, al.rho, h))
-
-        extra_state_cost.append(al_sineq)
+        extra_state_cost.append(GaussNewtonCost(
+            problem.state_inequality,
+            pen_fn(_INEQ_PEN, lambda al, p: al.lmbd_state_ineq[p["node"]]),
+            with_input=False,
+        ))
 
     if problem.final_equality_terms:
-
-        def al_feq(t, x, p):
-            g = problem.final_equality(t, x, p)
-            al: AlState = p["al"]
-            return jnp.sum(_EQ_PEN.value(al.lmbd_final_eq, al.rho, g))
-
-        extra_final.append(al_feq)
+        extra_final.append(GaussNewtonCost(
+            problem.final_equality,
+            pen_fn(_EQ_PEN, lambda al, p: al.lmbd_final_eq),
+            with_input=False,
+        ))
 
     return dataclasses.replace(
         problem,

@@ -86,6 +86,10 @@ class DdpSettings:
     use_feedback_policy: bool = True
     # PSD-project stage Hessians (HessianCorrection.h analogue).
     convexify: bool = True
+    # Hessian correction strategy for convexify: "gershgorin" (cheap
+    # diagonal shift, default) or "eigh" (exact eigenvalue clamping)
+    # (reference HessianCorrection.h:44 strategies).
+    hessian_correction: str = "gershgorin"
 
     @property
     def _substeps(self) -> int:
@@ -180,7 +184,7 @@ def solve(
         )
         coeffs = _lq_to_coeffs(lq)
         if settings.convexify:
-            coeffs = convexify(coeffs)
+            coeffs = convexify(coeffs, method=settings.hessian_correction)
         backward = lqr_backward_parallel if settings.parallel_riccati else lqr_backward
         sol: LqrSolution = backward(coeffs, reg=c.reg)
 

@@ -82,6 +82,10 @@ class IpmSettings:
     project_equalities: bool = True
     hessian_reg: float = 1e-6
     convexify: bool = True
+    # Hessian correction strategy for convexify: "gershgorin" (cheap
+    # diagonal shift, default) or "eigh" (exact eigenvalue clamping)
+    # (reference HessianCorrection.h:44 strategies).
+    hessian_correction: str = "gershgorin"
     # Barrier schedule (IpmSettings initialBarrierParameter /
     # targetBarrierParameter / barrierLinearDecreaseFactor /
     # barrierSuperlinearDecreasePower).
@@ -330,7 +334,10 @@ def solve(
             qf=lq.cost.dfdx[-1] + dqf,
         )
         if settings.convexify:
-            coeffs = convexify(coeffs, settings.hessian_reg)
+            coeffs = convexify(
+                coeffs, settings.hessian_reg,
+                method=settings.hessian_correction,
+            )
 
         backward = (
             lqr_backward_parallel if settings.parallel_riccati else lqr_backward

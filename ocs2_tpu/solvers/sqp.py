@@ -85,9 +85,20 @@ class SqpSettings:
     constraint_tol: float = 1e-4
     project_equalities: bool = True
     hessian_reg: float = 1e-6
+    # Adaptive Riccati input regularization (Levenberg-Marquardt effect):
+    # grown on line-search failure, shrunk on success.
+    reg_init: float = 1e-6
+    reg_increase: float = 10.0
+    reg_decrease: float = 0.5
+    reg_max: float = 1e8
+    reg_min: float = 0.0
     # PSD-project stage Hessians (HessianCorrection.h analogue); required
     # whenever exact Hessians of nonconvex terms can go indefinite.
     convexify: bool = True
+    # Hessian correction strategy for convexify: "gershgorin" (cheap
+    # diagonal shift, default) or "eigh" (exact eigenvalue clamping)
+    # (reference HessianCorrection.h:44 strategies).
+    hessian_correction: str = "gershgorin"
     al_rho_init: float = 10.0
     al_rho_growth: float = 10.0
     al_rho_max: float = 1e6
@@ -124,6 +135,7 @@ class _Carry(NamedTuple):
     viol: Array
     best_cviol: Array  # best constraint-only violation at last outer update
     since_outer: Array
+    reg: Array
     it: Array
     done: Array
     gains: Array
@@ -215,7 +227,10 @@ def solve(
             qf=lq.cost.dfdx[-1],
         )
         if settings.convexify:
-            coeffs = convexify(coeffs, settings.hessian_reg)
+            coeffs = convexify(
+                coeffs, settings.hessian_reg,
+                method=settings.hessian_correction,
+            )
 
         def solve_qp(qp_coeffs):
             """Inner QP: exact Riccati scan, or first-order PIPG (the SLP
@@ -243,7 +258,7 @@ def solve(
             backward = (
                 lqr_backward_parallel if settings.parallel_riccati else lqr_backward
             )
-            sol = backward(qp_coeffs)
+            sol = backward(qp_coeffs, reg=c.reg)
             dxs, dus_r = lqr_forward(qp_coeffs, sol, jnp.zeros((nx,), x0.dtype))
             return dxs, dus_r, sol.gains, (sol.value_S, sol.value_s)
 
@@ -254,6 +269,18 @@ def solve(
             gains = remap_projected_gain(proj, gains_r)
         else:
             dxs, dus, gains, (value_S, value_s) = solve_qp(coeffs)
+
+        # Non-finite directions (ill-posed QP at wildly infeasible iterates)
+        # must not poison the carry: zero the step so every candidate equals
+        # the baseline, the line search rejects, and the Levenberg-style
+        # regularization below grows until the QP is well-posed again
+        # (reference: exceptions on ill-posed LQ, GaussNewtonDDP.cpp:683-719,
+        # here expressed as masked recovery since jit cannot throw).
+        step_finite = jnp.logical_and(
+            jnp.all(jnp.isfinite(dxs)), jnp.all(jnp.isfinite(dus))
+        )
+        dxs = jnp.where(step_finite, dxs, 0.0)
+        dus = jnp.where(step_finite, dus, 0.0)
 
         # Filter line search over the alpha grid (FilterLinesearch.h:44).
         def try_alpha(alpha):
@@ -282,8 +309,23 @@ def solve(
                 jnp.logical_or(merits < c.merit, viols < (1.0 - 1e-3) * c.viol),
             ),
         )
+        accept = jnp.logical_and(accept, step_finite)
         first_ok = jnp.argmax(accept)  # largest accepted step (alphas descend)
         any_ok = jnp.any(accept)
+        # Levenberg-style trust-region effect: shrink the Riccati input
+        # regularization on success, grow it when the line search rejects
+        # everything (reference LevenbergMarquardtStrategy.cpp; the reference
+        # SQP instead terminates on stepSize < alpha_min — adaptive reg keeps
+        # making progress where termination would strand an infeasible
+        # iterate).
+        reg_n = jnp.where(
+            any_ok,
+            jnp.maximum(c.reg * settings.reg_decrease, settings.reg_min),
+            jnp.minimum(
+                jnp.maximum(c.reg, settings.reg_init) * settings.reg_increase,
+                settings.reg_max,
+            ),
+        )
 
         xs_n = jnp.where(any_ok, xs_cand[first_ok], c.xs)
         us_n = jnp.where(any_ok, us_cand[first_ok], c.us)
@@ -354,6 +396,7 @@ def solve(
             xs=xs_n, us=us_n, al=al_n, merit=merit_carry, viol=viol_n,
             best_cviol=best_cviol,
             since_outer=jnp.where(outer_due, 0, c.since_outer + 1),
+            reg=reg_n,
             it=c.it + 1, done=done,
             gains=gains, value_S=value_S, value_s=value_s,
         )
@@ -363,6 +406,7 @@ def solve(
         viol=jnp.asarray(jnp.inf, x0.dtype),
         best_cviol=jnp.asarray(jnp.inf, x0.dtype),
         since_outer=jnp.zeros((), jnp.int32),
+        reg=jnp.asarray(settings.reg_init, x0.dtype),
         it=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
         gains=jnp.zeros((n, nu, nx), x0.dtype),
