@@ -112,7 +112,33 @@ void* ocs2rt_store_create(const char* name, uint64_t capacity, int create) {
       delete s;
       return nullptr;
     }
-    void* mem = mmap(nullptr, total, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
+    uint64_t map_total = total;
+    if (!create) {
+      // Attach: validate the creator's header BEFORE mapping the payload —
+      // the caller's capacity may disagree with the creator's; mapping past
+      // the shm object's end SIGBUSes on first touch, a smaller mapping
+      // silently truncates.  Map just the header, adopt hdr->capacity, then
+      // remap at the creator's size.
+      void* hmem = mmap(nullptr, sizeof(StoreHeader), PROT_READ, MAP_SHARED, fd, 0);
+      if (hmem == MAP_FAILED) {
+        close(fd);
+        delete s;
+        return nullptr;
+      }
+      const StoreHeader* peek = reinterpret_cast<const StoreHeader*>(hmem);
+      const uint64_t magic = peek->magic;
+      const uint64_t creator_capacity = peek->capacity;
+      munmap(hmem, sizeof(StoreHeader));
+      if (magic != kMagic) {
+        close(fd);
+        delete s;
+        return nullptr;
+      }
+      s->capacity = creator_capacity;  // adopt (exposed via ocs2rt_store_capacity)
+      map_total = sizeof(StoreHeader) + creator_capacity;
+    }
+    void* mem =
+        mmap(nullptr, map_total, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
     close(fd);
     if (mem == MAP_FAILED) {
       delete s;
@@ -126,10 +152,6 @@ void* ocs2rt_store_create(const char* name, uint64_t capacity, int create) {
       s->hdr->capacity = capacity;
       s->hdr->seq.store(0);
       s->hdr->size.store(0);
-    } else if (s->hdr->magic != kMagic) {
-      munmap(mem, total);
-      delete s;
-      return nullptr;
     }
   }
   s->payload = reinterpret_cast<uint8_t*>(s->hdr) + sizeof(StoreHeader);
@@ -190,6 +212,13 @@ int64_t ocs2rt_store_read(void* handle, void* out, uint64_t max_size,
 uint64_t ocs2rt_store_seq(void* handle) {
   Store* s = static_cast<Store*>(handle);
   return s ? s->hdr->seq.load(std::memory_order_acquire) : 0;
+}
+
+// Effective capacity of the store (on attach this is the CREATOR's capacity,
+// which may differ from the capacity passed to ocs2rt_store_create).
+uint64_t ocs2rt_store_capacity(void* handle) {
+  Store* s = static_cast<Store*>(handle);
+  return s ? s->capacity : 0;
 }
 
 // ---------------------------------------------------------------------------

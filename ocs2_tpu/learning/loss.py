@@ -53,7 +53,9 @@ def cross_entropy_loss(gates: Array, mode_probs: Array, eps: float = 1e-8) -> Ar
     return -jnp.mean(jnp.sum(mode_probs * jnp.log(gates + eps), axis=-1))
 
 
-def hamiltonian_from_lq(lq, value_S: Array, value_s: Array) -> HamiltonianApprox:
+def hamiltonian_from_lq(
+    lq, value_S: Array, value_s: Array, xs: Array
+) -> HamiltonianApprox:
     """Assemble per-node Hamiltonian expansions from the horizon LQ data and
     the value function of the Riccati pass.
 
@@ -61,8 +63,16 @@ def hamiltonian_from_lq(lq, value_S: Array, value_s: Array) -> HamiltonianApprox
     its u-block at dx = 0 is exactly the Riccati intermediate
     (Qu_hat, Quu_hat) — the quantity the reference stores per sample
     (rollout/MpcnetData.h hamiltonian).  Shapes: [N, ...].
+
+    value_S/value_s live in DELTA coordinates around the solution trajectory,
+    so the affine term must be the multiple-shooting defect
+    b = F(x_k,u_k) - x_{k+1} (what the solvers pass as LqrCoeffs.b), NOT the
+    absolute predicted next state lq.dynamics.f — using f adds a spurious
+    B'S_{k+1}x_{k+1} to hu and shifts the Q-function minimizer away from u*.
+    ``xs`` is the solution state trajectory [N+1, nx] used to form the defect.
     """
-    a, b_mat, b = lq.dynamics.dfdx, lq.dynamics.dfdu, lq.dynamics.f
+    a, b_mat = lq.dynamics.dfdx, lq.dynamics.dfdu
+    b = lq.dynamics.f - xs[1:]
     s_next = value_S[1:]
     sv_next = value_s[1:]
 

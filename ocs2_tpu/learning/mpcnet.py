@@ -128,7 +128,7 @@ class Mpcnet:
             method=self.s.solver_settings.integrator,
             substeps=self.s.solver_settings.substeps,
         )
-        hammy = hamiltonian_from_lq(lq, sol.value_S, sol.value_s)
+        hammy = hamiltonian_from_lq(lq, sol.value_S, sol.value_s, sol.xs)
         return sol.us[0], HamiltonianApprox(
             h0=hammy.h0[0], hu=hammy.hu[0], Huu=hammy.Huu[0]
         )

@@ -19,6 +19,7 @@ the MPC operates in); cost structure and dimensions match task.info.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.reference import TargetTrajectories
 from ..oc.problem import (
@@ -76,8 +77,8 @@ def dynamics(t, x, u, p):
 
 
 # Weights mirror ocs2_ballbot/config/mpc/task.info Q/R diagonals.
-Q = jnp.diag(jnp.array([20.0, 20.0, 10.0, 50.0, 50.0, 2.0, 2.0, 1.0, 5.0, 5.0]))
-R = jnp.diag(jnp.array([1.0, 1.0, 1.0]))
+Q = np.diag(np.array([20.0, 20.0, 10.0, 50.0, 50.0, 2.0, 2.0, 1.0, 5.0, 5.0], np.float32))
+R = np.diag(np.array([1.0, 1.0, 1.0], np.float32))
 QF = 2.0 * Q
 
 

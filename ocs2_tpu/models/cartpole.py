@@ -11,6 +11,7 @@ input u = [force].  Parameters mirror the reference task.info dynamics block.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import penalties as pen
 from ..core.reference import TargetTrajectories
@@ -52,9 +53,9 @@ def input_bounds(t, x, u, p):
     return jnp.array([u[0] + MAX_FORCE, MAX_FORCE - u[0]])
 
 
-Q = jnp.diag(jnp.array([2.0, 1.0, 0.2, 0.2]))
-R = jnp.diag(jnp.array([0.1]))
-QF = jnp.diag(jnp.array([40.0, 20.0, 4.0, 4.0]))
+Q = np.diag(np.array([2.0, 1.0, 0.2, 0.2], np.float32))
+R = np.diag(np.array([0.1], np.float32))
+QF = np.diag(np.array([40.0, 20.0, 4.0, 4.0], np.float32))
 
 
 def make_problem(constraint_mode: str = "soft") -> OptimalControlProblem:

@@ -56,11 +56,14 @@ class SphereModel(NamedTuple):
             for a in ia:
                 for b in ib:
                     pairs.append((a, b))
+        # NUMPY leaves: SphereModels live at module level and are captured
+        # by jitted constraint closures — committed device arrays there cost
+        # a fixed ~25 ms host sync per call on remote TPU backends.
         return SphereModel(
-            frame_idx=jnp.asarray(frame_idx),
-            offsets=jnp.asarray(offsets),
-            radii=jnp.asarray(radii),
-            pairs=jnp.asarray(np.asarray(pairs, np.int32).reshape(-1, 2)),
+            frame_idx=frame_idx,
+            offsets=offsets,
+            radii=radii,
+            pairs=np.asarray(pairs, np.int32).reshape(-1, 2),
         )
 
     def centers(self, frame_rots: Array, frame_pos: Array) -> Array:

@@ -6,6 +6,7 @@ Analogue of reference ocs2_robotic_examples/ocs2_double_integrator
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.reference import TargetTrajectories
 from ..oc.problem import (
@@ -19,9 +20,9 @@ NU = 1
 
 # Cost weights follow the reference task.info (ocs2_double_integrator/config/
 # mpc/task.info Q/R/Q_final).
-Q = jnp.diag(jnp.array([1.0, 1.0]))
-R = jnp.diag(jnp.array([1.0]))
-QF = jnp.diag(jnp.array([10.0, 10.0]))
+Q = np.diag(np.array([1.0, 1.0], np.float32))
+R = np.diag(np.array([1.0], np.float32))
+QF = np.diag(np.array([10.0, 10.0], np.float32))
 
 
 def dynamics(t, x, u, p):

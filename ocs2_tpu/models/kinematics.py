@@ -74,6 +74,31 @@ class Chain:
     def ee_position(self, q: Array, base_rot=None, base_pos=None) -> Array:
         return self.forward(q, base_rot, base_pos)[0]
 
+    def frame_poses(self, q: Array, base_rot=None, base_pos=None):
+        """Poses of every frame along the chain: ([F,3,3], [F,3]) with
+        F = num joints + 2 (base frame first, EE frame last) — the FK query
+        sphere-approximation collision models consume (reference
+        PinocchioSphereKinematics computes sphere centers from frame
+        placements)."""
+        rot = jnp.eye(3) if base_rot is None else base_rot
+        pos = jnp.zeros(3) if base_pos is None else base_pos
+        rots, poss = [rot], [pos]
+        qi = 0
+        for joint in self.joints:
+            pos = pos + rot @ jnp.asarray(joint.offset)
+            if joint.kind == "revolute":
+                rot = rot @ rot_axis(_AXES[joint.axis], q[qi])
+                qi += 1
+            elif joint.kind == "prismatic":
+                step = jnp.zeros(3).at[_AXES[joint.axis]].set(q[qi])
+                pos = pos + rot @ step
+                qi += 1
+            rots.append(rot)
+            poss.append(pos)
+        rots.append(rot)
+        poss.append(pos + rot @ jnp.asarray(self.ee_offset))
+        return jnp.stack(rots), jnp.stack(poss)
+
     def position_jacobian(self, q: Array) -> Array:
         """d ee_position / d q  [3, ndof] via forward-mode AD (replaces
         Pinocchio computeFrameJacobian / CppAd codegen)."""

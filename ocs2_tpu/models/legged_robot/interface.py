@@ -28,22 +28,45 @@ from .gait import GAIT_MAP, GaitSchedule, ModeSequenceTemplate, stance_gait
 from .swing import plan_swing_references
 
 # Base-tracking weights matching the reference task.info Q/R
-# (ocs2_legged_robot/config/mpc/task.info:179-246).
-Q_DIAG = jnp.concatenate(
+# (ocs2_legged_robot/config/mpc/task.info:179-246).  Module constants are
+# NUMPY so they bake into jitted programs as literals — committed device
+# arrays captured in a jitted solve cost ~25 ms/call on remote TPU backends.
+Q_DIAG = np.concatenate(
     [
-        jnp.array([15.0, 15.0, 30.0]),  # com velocity
-        jnp.array([5.0, 10.0, 10.0]),  # normalized angular momentum
-        jnp.array([500.0, 500.0, 500.0]),  # base position
-        jnp.array([100.0, 200.0, 200.0]),  # base orientation (z, y, x)
-        jnp.full((12,), 20.0),  # joint angles
+        np.array([15.0, 15.0, 30.0]),  # com velocity
+        np.array([5.0, 10.0, 10.0]),  # normalized angular momentum
+        np.array([500.0, 500.0, 500.0]),  # base position
+        np.array([100.0, 200.0, 200.0]),  # base orientation (z, y, x)
+        np.full((12,), 20.0),  # joint angles
     ]
-)
-R_DIAG = jnp.concatenate(
-    [
-        jnp.full((12,), 1e-3),  # contact forces
-        jnp.full((12,), 5.0),  # joint velocities (5000 * 1e-3 scaling)
-    ]
-)
+).astype(np.float32)
+
+
+# The reference's R(12:24) = 5000*1e-3 weights FOOT velocity relative to the
+# base, mapped to joint velocities through the base-to-feet Jacobian at the
+# nominal configuration: R_qdot = J^T R_task J (LeggedRobotInterface.cpp:
+# 238-269 initializeInputCostWeight).  A direct 5.0 on joint velocities
+# over-penalizes leg swing ~25x and freezes the gait.
+def _input_cost_weight() -> np.ndarray:
+    import jax as _jax
+
+    q_nom = model.DEFAULT_JOINTS.reshape(model.NUM_LEGS, 3)
+    r = np.zeros((model.NU, model.NU), np.float32)
+    r[:12, :12] = np.diag(np.full((12,), 1e-3, np.float32))  # contact forces
+    r_task = 5000.0 * 1e-3  # foot-velocity weight (task.info R scaling)
+    for leg in range(model.NUM_LEGS):
+        jac = np.asarray(
+            _jax.jacfwd(lambda qq, leg=leg: model.foot_position_base(leg, qq))(
+                jnp.asarray(q_nom[leg])
+            )
+        )
+        block = r_task * (jac.T @ jac)
+        s = slice(12 + 3 * leg, 12 + 3 * (leg + 1))
+        r[s, s] = block
+    return r
+
+
+R_MAT = _input_cost_weight()
 
 
 def make_problem(
@@ -52,8 +75,8 @@ def make_problem(
 ) -> OptimalControlProblem:
     problem = OptimalControlProblem(
         dynamics=model.dynamics,
-        cost_terms=(quadratic_cost(jnp.diag(Q_DIAG), jnp.diag(R_DIAG)),),
-        final_cost_terms=(quadratic_final_cost(10.0 * jnp.diag(Q_DIAG[:24])),),
+        cost_terms=(quadratic_cost(np.diag(Q_DIAG), R_MAT),),
+        final_cost_terms=(quadratic_final_cost(10.0 * np.diag(Q_DIAG[:24])),),
         equality_terms=(con.foot_constraint, con.swing_normal_velocity)
         if not project_foot_constraint
         else (con.foot_constraint,),
@@ -102,7 +125,7 @@ def make_params(
         "target": target or default_target(),
         "swing_vz": swing.vz,
         "swing_z": swing.z,
-        "fz_max": jnp.asarray(500.0),
+        "fz_max": np.float32(500.0),
     }
 
 

@@ -21,6 +21,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -32,16 +33,17 @@ NUM_JOINTS = 12
 MASS = 30.0
 GRAVITY = 9.81
 # SRBD rotational inertia about the CoM (body frame), ANYmal-like.
-INERTIA = jnp.array([1.0, 2.1, 2.2])
+INERTIA = np.array([1.0, 2.1, 2.2], np.float32)
 
 # Hip (HAA) mounting points in the base frame: LF, RF, LH, RH.
-HIP_OFFSETS = jnp.array(
+HIP_OFFSETS = np.array(
     [
         [0.3, 0.2, 0.0],
         [0.3, -0.2, 0.0],
         [-0.3, 0.2, 0.0],
         [-0.3, -0.2, 0.0],
-    ]
+    ],
+    np.float32,
 )
 THIGH_LENGTH = 0.25
 SHANK_LENGTH = 0.33
@@ -49,13 +51,14 @@ HIP_LATERAL = 0.08  # HAA to leg plane offset (toward body side sign)
 
 # Default standing configuration (x-shaped: knees inward), per leg
 # (HAA, HFE, KFE).
-DEFAULT_JOINTS = jnp.array(
+DEFAULT_JOINTS = np.array(
     [
         [0.0, 0.4, -0.8],
         [0.0, 0.4, -0.8],
         [0.0, -0.4, 0.8],
         [0.0, -0.4, 0.8],
-    ]
+    ],
+    np.float32,
 ).reshape(-1)
 STAND_HEIGHT = 0.57
 

@@ -78,4 +78,5 @@ def plan_swing_references(
             zz, vv = _cubic_swing(phase, swing_height, duration)
             z[start:end, leg] = zz
             vz[start:end, leg] = vv
-    return SwingReference(z=jnp.asarray(z), vz=jnp.asarray(vz))
+    # numpy: host-built per grid; captured in jit closures (see TimeGrid note)
+    return SwingReference(z=z, vz=vz)

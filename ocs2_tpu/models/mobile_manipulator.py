@@ -1,9 +1,14 @@
-"""Mobile manipulator — kinematic MPC with end-effector tracking.
+"""Mobile manipulator — kinematic MPC with end-effector pose tracking,
+joint/velocity limits, sphere self-collision, and optional workspace-SDF
+clearance.
 
 Analogue of reference ocs2_robotic_examples/ocs2_mobile_manipulator:
 kinematic (velocity-controlled) MPC for a wheeled base + 6-DOF arm with an
-end-effector pose-tracking cost, joint-limit and self-collision constraints
-(ManipulatorModelInfo; dynamics/WheelBasedMobileManipulatorDynamics.h).
+end-effector pose-tracking cost (EndEffectorCost: position + orientation
+error), joint-limit constraints, and sphere-approximation self-collision
+(ocs2_self_collision/SelfCollisionConstraint.h:44 via
+ocs2_sphere_approximation); the SDF option mirrors
+ocs2_perceptive/end_effector/EndEffectorDistanceConstraint.h.
 
 State x = [base_x, base_y, base_yaw, q_arm (6)]   (nx = 9)
 Input u = [v_forward, omega_yaw, dq_arm (6)]      (nu = 8)
@@ -16,10 +21,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import penalties as pen
 from ..oc.problem import OptimalControlProblem, soft_constraint
-from .kinematics import Chain, Joint, rot_axis
+from .collision import SphereModel, self_collision_constraint
+from .kinematics import Chain, Joint, rot_axis, rotation_error
 
 NX = 9
 NU = 8
@@ -36,9 +43,9 @@ ARM = Chain(
     ee_offset=(0.0, 0.0, 0.10),
 )
 
-JOINT_LOWER = jnp.array([-2.9, -1.8, -2.9, -2.9, -1.8, -2.9])
+JOINT_LOWER = np.array([-2.9, -1.8, -2.9, -2.9, -1.8, -2.9], np.float32)
 JOINT_UPPER = -JOINT_LOWER
-VEL_LIMIT = jnp.array([0.5, 0.8, 1.5, 1.5, 1.5, 2.0, 2.0, 2.0])  # [v, w, dq..]
+VEL_LIMIT = np.array([0.5, 0.8, 1.5, 1.5, 1.5, 2.0, 2.0, 2.0], np.float32)  # [v, w, dq..]
 
 
 def ee_pose(x):
@@ -56,12 +63,18 @@ def dynamics(t, x, u, p):
 
 
 def ee_tracking_cost(t, x, u, p):
-    """Position (+ optional orientation) tracking of params['ee_target']
-    (reference EndEffectorCost with PinocchioEndEffectorKinematics)."""
+    """End-effector pose tracking: position error to params['ee_target'] plus
+    so(3) orientation error to params['ee_target_rot'] when present
+    (reference EndEffectorCost — position + orientation error via
+    EndEffectorKinematics.h getOrientationError)."""
     pos, rot = ee_pose(x)
     target = p["ee_target"]  # [3]
     err = pos - target
-    return 50.0 * jnp.sum(err**2)
+    c = 50.0 * jnp.sum(err**2)
+    if isinstance(p, dict) and "ee_target_rot" in p:
+        rot_err = rotation_error(rot, p["ee_target_rot"])
+        c = c + 30.0 * jnp.sum(rot_err**2)
+    return c
 
 
 def input_cost(t, x, u, p):
@@ -81,29 +94,85 @@ def velocity_limits(t, x, u, p):
     return jnp.concatenate([u + VEL_LIMIT, VEL_LIMIT - u])
 
 
-def make_problem(constraint_mode: str = "soft") -> OptimalControlProblem:
+# Sphere decomposition for self-collision: base body vs forearm/wrist/EE
+# (reference: PinocchioSphereInterface decomposes link geometry; the
+# monitored pairs mirror the reference config's collision-pair list).
+# Frames from frame_poses(): 0 = world/base-footprint (identity rotation at
+# the arm mount), 1..6 after each arm joint, 7 = EE.
+SPHERES = SphereModel.create(
+    spheres=[
+        (0, (0.0, 0.0, 0.25), 0.28),   # base body
+        (0, (0.25, 0.0, 0.45), 0.12),  # base top front
+        (3, (0.0, 0.0, 0.15), 0.07),   # forearm (after elbow)
+        (5, (0.0, 0.0, 0.05), 0.06),   # wrist
+        (7, (0.0, 0.0, 0.02), 0.05),   # end effector
+    ],
+    pair_frames=[(0, 3), (0, 5), (0, 7)],
+)
+
+
+def _arm_frame_poses(x):
+    base_pos = jnp.array([x[0], x[1], 0.0])
+    base_rot = rot_axis(2, x[2])
+    return ARM.frame_poses(x[3:9], base_rot=base_rot, base_pos=base_pos)
+
+
+self_collision = self_collision_constraint(
+    SPHERES, _arm_frame_poses, min_distance=0.02
+)
+
+
+def make_problem(
+    constraint_mode: str = "soft",
+    self_collision_avoidance: bool = True,
+    workspace_sdf=None,
+    sdf_clearance: float = 0.0,
+) -> OptimalControlProblem:
+    """Assemble the manipulator OCP (reference MobileManipulatorInterface):
+    EE pose tracking + input cost, joint/velocity limits, sphere
+    self-collision, and optionally an EE workspace-clearance constraint
+    against a SignedDistanceField (EndEffectorDistanceConstraint.h)."""
     base = OptimalControlProblem(
         dynamics=dynamics,
         cost_terms=(ee_tracking_cost, input_cost),
         nx=NX,
         nu=NU,
     )
+    state_ineq = []
+    if self_collision_avoidance:
+        state_ineq.append(self_collision)
+    if workspace_sdf is not None:
+        from .perceptive import ee_distance_constraint
+
+        state_ineq.append(
+            ee_distance_constraint(
+                workspace_sdf,
+                lambda x: ee_pose(x)[0][None, :],
+                clearance=sdf_clearance,
+            )
+        )
     if constraint_mode == "soft":
         barrier = pen.relaxed_barrier(mu=1e-2, delta=1e-3)
         return base.add(
             cost_terms=(soft_constraint(velocity_limits, barrier),),
-            state_cost_terms=(soft_constraint(joint_limits, barrier, with_input=False),),
+            state_cost_terms=tuple(
+                soft_constraint(g, barrier, with_input=False)
+                for g in [joint_limits] + state_ineq
+            ),
         )
     if constraint_mode == "hard":
         return base.add(
             inequality_terms=(velocity_limits,),
-            state_inequality_terms=(joint_limits,),
+            state_inequality_terms=tuple([joint_limits] + state_ineq),
         )
     return base
 
 
-def make_params(ee_target=(1.0, 0.5, 0.8)):
-    return {"ee_target": jnp.asarray(ee_target, jnp.float32)}
+def make_params(ee_target=(1.0, 0.5, 0.8), ee_target_rot=None):
+    p = {"ee_target": jnp.asarray(ee_target, jnp.float32)}
+    if ee_target_rot is not None:
+        p["ee_target_rot"] = jnp.asarray(ee_target_rot, jnp.float32)
+    return p
 
 
 def home_state():

@@ -10,6 +10,7 @@ input u = [total thrust Fz (body), torques Mx My Mz].
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.reference import TargetTrajectories
 from ..oc.problem import (
@@ -23,7 +24,7 @@ NU = 4
 
 MASS = 1.0  # reference task.info quadrotorMass
 GRAVITY = 9.81
-INERTIA = jnp.array([0.005, 0.005, 0.009])  # Ixx Iyy Izz (task.info)
+INERTIA = np.array([0.005, 0.005, 0.009], np.float32)  # Ixx Iyy Izz (task.info)
 
 
 def euler_zyx_to_rotation(euler):
@@ -74,10 +75,10 @@ def hover_input():
     return jnp.array([MASS * GRAVITY, 0.0, 0.0, 0.0])
 
 
-Q = jnp.diag(
-    jnp.array([10.0, 10.0, 10.0, 5.0, 5.0, 5.0, 1.0, 1.0, 1.0, 0.1, 0.1, 0.1])
+Q = np.diag(
+    np.array([10.0, 10.0, 10.0, 5.0, 5.0, 5.0, 1.0, 1.0, 1.0, 0.1, 0.1, 0.1], np.float32)
 )
-R = jnp.diag(jnp.array([0.1, 1.0, 1.0, 1.0]))
+R = np.diag(np.array([0.1, 1.0, 1.0, 1.0], np.float32))
 QF = 2.0 * Q
 
 

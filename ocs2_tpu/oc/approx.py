@@ -215,6 +215,7 @@ def approximate_lq(
     substeps: int = 1,
 ) -> LQData:
     """Full-horizon LQ approximation in one vmapped evaluation."""
+    grid = grid.device()
     n = grid.num_intervals
     nu = problem.nu
 

@@ -64,15 +64,26 @@ def evaluate_trajectory(
     us: Array,
     params: Any,
 ) -> TrajectoryMetrics:
+    grid = grid.device()
     n = grid.num_intervals
 
     def intermediate(k):
         t = grid.times[k]
-        dt = grid.times[k + 1] - grid.times[k]
+        t1 = grid.times[k + 1]
+        dt = t1 - t
         p = node_params(params, grid, k)
         x, u = xs[k], us[k]
         m = grid.is_jump[k]
-        c = dt * problem.cost(t, x, u, p)
+        # Trapezoidal cost quadrature under zero-order-hold inputs (reference
+        # TrapezoidalIntegration.h / PerformanceIndicesRollout) — second-order
+        # accurate, so reported costs match the reference's adaptive-ODE
+        # PerformanceIndex (EXP0/EXP1 anchors) where the rectangle rule is
+        # ~1% off at dt=0.02.  Transcription/LQ keeps the rectangle rule
+        # (as the reference multiple_shooting does).
+        c = 0.5 * dt * (
+            problem.cost(t, x, u, p)
+            + problem.cost(t1, xs[k + 1], u, node_params(params, grid, k + 1))
+        )
         if problem.pre_jump_cost_terms:
             c = c + m * problem.pre_jump_cost(t, x, p)
         g_eq = problem.equality(t, x, u, p) if problem.equality_terms else None

@@ -28,6 +28,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import penalties as pen
 
@@ -121,6 +122,20 @@ class OptimalControlProblem:
             "nfe": dim(self.final_equality, False),
         }
 
+    # -- structure queries ----------------------------------------------------
+    @property
+    def cost_structure_psd(self) -> bool:
+        """True when every cost term carries a PSD quadratization by
+        construction (quadratic tracking terms, Gauss-Newton penalty terms
+        with convex penalties) — then the LQ subproblem is convex without any
+        Hessian correction and solvers can skip convexify entirely.  Plain
+        callables go through exact AD and may produce indefinite Hessians,
+        as may pre-jump cost terms (quadratized jointly via AD)."""
+        if self.pre_jump_cost_terms:
+            return False
+        terms = self.cost_terms + self.state_cost_terms + self.final_cost_terms
+        return all(getattr(t, "psd_quadratization", False) for t in terms)
+
     # -- builders -----------------------------------------------------------
     def add(self, **kwargs) -> "OptimalControlProblem":
         """Return a copy with term tuples extended.
@@ -159,9 +174,14 @@ class QuadraticTrackingCost:
     (ocs2_core/cost/QuadraticStateInputCost.h).  Closed-form quadratization.
     """
 
+    psd_quadratization = True  # Q, R assumed PSD
+
     def __init__(self, Q, R, target_key: str = "target"):
-        self.Q = jnp.asarray(Q)
-        self.R = jnp.asarray(R)
+        # Stored as NUMPY constants: committed device arrays captured inside
+        # a jitted solve cost a fixed ~25 ms host sync PER CALL on remote
+        # TPU backends; numpy constants bake into the program as literals.
+        self.Q = np.asarray(Q, np.float32)
+        self.R = np.asarray(R, np.float32)
         self.target_key = target_key
 
     def _deltas(self, t, x, u, p):
@@ -195,8 +215,10 @@ def quadratic_cost(Q, R, target_key: str = "target"):
 class QuadraticStateCost:
     """0.5 (x-x*)'Qf(x-x*) — state-only / final tracking, closed form."""
 
+    psd_quadratization = True  # Qf assumed PSD
+
     def __init__(self, Qf, target_key: str = "target"):
-        self.Qf = jnp.asarray(Qf)
+        self.Qf = np.asarray(Qf, np.float32)  # numpy: see QuadraticTrackingCost
         self.target_key = target_key
 
     def __call__(self, t, x, p):
@@ -229,6 +251,9 @@ class GaussNewtonCost:
     one reverse pass per constraint row, which for the typical few-row
     constraint beats differentiating a full Hessian by an order of magnitude.
     """
+
+    # J' diag(phi'') J with phi'' >= 0 (all shipped penalties are convex).
+    psd_quadratization = True
 
     def __init__(self, g_fn, penalty_fn, with_input: bool = True):
         self.g_fn = g_fn
@@ -292,8 +317,8 @@ def soft_constraint(constraint_fn: ConstraintFn, penalty: pen.Penalty, with_inpu
 
 def soft_box_input_constraint(lower, upper, penalty: pen.Penalty):
     """Soft input box bounds (reference StateInputSoftBoxConstraint.h)."""
-    lower = jnp.asarray(lower)
-    upper = jnp.asarray(upper)
+    lower = np.asarray(lower, np.float32)  # numpy: see QuadraticTrackingCost
+    upper = np.asarray(upper, np.float32)
 
     def cost(t, x, u, p):
         del t, x, p

@@ -36,6 +36,7 @@ def rollout(
     substeps: int = 1,
 ):
     """Closed-loop rollout. Returns (xs [N+1, nx], us [N, nu])."""
+    grid = grid.device()
 
     def transition(k, x):
         t = grid.times[k]

@@ -43,6 +43,18 @@ class TimeGrid(NamedTuple):
     def dts(self) -> Array:
         return self.times[1:] - self.times[:-1]
 
+    def device(self) -> "TimeGrid":
+        """jnp view of the grid for traced indexing inside jit.  Host grids
+        carry NUMPY leaves (so closures capturing them stay free of committed
+        device arrays — see make_time_grid); solver entry points call this
+        once, turning the leaves into baked constants (captured) or no-ops
+        (when the grid is a jit argument)."""
+        return TimeGrid(
+            times=jnp.asarray(self.times),
+            is_jump=jnp.asarray(self.is_jump),
+            modes=jnp.asarray(self.modes),
+        )
+
 
 def make_time_grid(
     t0: float,
@@ -102,10 +114,14 @@ def make_time_grid(
         jump_count = np.concatenate([[0], np.cumsum(is_jump.astype(int))])
         modes = mode_sequence[np.minimum(jump_count, len(mode_sequence) - 1)]
 
+    # NUMPY leaves: a TimeGrid is host-built per solve and routinely captured
+    # by user jit closures — committed device arrays there cost a fixed
+    # ~25 ms host sync per call on remote TPU backends, numpy bakes into the
+    # compiled program as literals (and works identically as a jit argument).
     return TimeGrid(
-        times=jnp.asarray(times),
-        is_jump=jnp.asarray(is_jump),
-        modes=jnp.asarray(modes),
+        times=times,
+        is_jump=is_jump,
+        modes=np.asarray(modes, np.int32),
     )
 
 

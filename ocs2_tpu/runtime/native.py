@@ -54,6 +54,8 @@ def load_library() -> ctypes.CDLL:
         ]
         lib.ocs2rt_store_seq.restype = ctypes.c_uint64
         lib.ocs2rt_store_seq.argtypes = [ctypes.c_void_p]
+        lib.ocs2rt_store_capacity.restype = ctypes.c_uint64
+        lib.ocs2rt_store_capacity.argtypes = [ctypes.c_void_p]
         lib.ocs2rt_rate_create.restype = ctypes.c_void_p
         lib.ocs2rt_rate_create.argtypes = [ctypes.c_double]
         lib.ocs2rt_rate_wait.restype = ctypes.c_int
@@ -88,9 +90,13 @@ class PolicyStore:
         )
         if not self._h:
             raise OSError(f"failed to create policy store (name={name!r})")
+        # On attach the native layer adopts the CREATOR's capacity (it
+        # validates the shm header before mapping the payload, so a
+        # mismatched caller capacity can neither SIGBUS nor truncate).
+        self.capacity = int(self._lib.ocs2rt_store_capacity(self._h))
         self._owner = create
         self._last_seq = 0
-        self._buf = ctypes.create_string_buffer(capacity)
+        self._buf = ctypes.create_string_buffer(self.capacity)
 
     def write(self, blob: bytes) -> None:
         rc = self._lib.ocs2rt_store_write(self._h, blob, len(blob))

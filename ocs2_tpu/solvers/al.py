@@ -147,6 +147,7 @@ def update_multipliers(
     rho_max: float = 1e6,
 ) -> AlState:
     """Dual ascent on all multipliers at the accepted trajectory."""
+    grid = grid.device()
     n = grid.num_intervals
 
     def with_node(k):

@@ -84,16 +84,31 @@ class DdpSettings:
     outer_update_every: int = 10
     parallel_riccati: bool = False
     use_feedback_policy: bool = True
-    # PSD-project stage Hessians (HessianCorrection.h analogue).
-    convexify: bool = True
-    # Hessian correction strategy for convexify: "gershgorin" (cheap
-    # diagonal shift, default) or "eigh" (exact eigenvalue clamping)
+    # PSD-project stage Hessians (HessianCorrection.h analogue).  "auto"
+    # (default): skip when every cost term is PSD-by-construction
+    # (problem.cost_structure_psd), else correct.
+    convexify: Any = "auto"
+    # Hessian correction strategy for convexify: "eigh" (exact eigenvalue
+    # clamping, default) or "gershgorin" (cheap scalar diagonal shift; its
+    # loose bound over-damps coupled Hessians — see solvers/sqp.py)
     # (reference HessianCorrection.h:44 strategies).
-    hessian_correction: str = "gershgorin"
+    hessian_correction: str = "eigh"
 
     @property
     def _substeps(self) -> int:
         return max(self.substeps, 2) if self.algorithm == "slq" else self.substeps
+
+
+class DdpIterationLog(NamedTuple):
+    """Per-iteration record, [max_iterations] arrays NaN-padded beyond the
+    executed iterations (reference per-iteration PerformanceIndex history,
+    SolverBase.h:154-168)."""
+
+    merit: Array
+    cost: Array
+    constraint_viol: Array
+    step_accepted: Array  # 1.0 when the line search accepted a candidate
+    reg: Array
 
 
 class DdpSolution(NamedTuple):
@@ -109,6 +124,7 @@ class DdpSolution(NamedTuple):
     iterations: Array
     converged: Array
     al: AlState
+    history: DdpIterationLog
 
 
 class _Carry(NamedTuple):
@@ -126,6 +142,7 @@ class _Carry(NamedTuple):
     gains: Array
     value_S: Array
     value_s: Array
+    history: DdpIterationLog
 
 
 def _lq_to_coeffs(lq) -> LqrCoeffs:
@@ -158,6 +175,11 @@ def solve(
     n = grid.num_intervals
     nx, nu = problem.nx, problem.nu
     aug = augment_problem(problem)
+    do_convexify = (
+        not aug.cost_structure_psd
+        if settings.convexify == "auto"
+        else bool(settings.convexify)
+    )
     dims = problem.constraint_dims(_example_params(params))
     if al_init is None:
         al_init = AlState.init(dims, n, settings.al_rho_init, dtype=x0.dtype)
@@ -183,7 +205,7 @@ def solve(
             method=settings.integrator, substeps=settings._substeps,
         )
         coeffs = _lq_to_coeffs(lq)
-        if settings.convexify:
+        if do_convexify:
             coeffs = convexify(coeffs, method=settings.hessian_correction)
         backward = lqr_backward_parallel if settings.parallel_riccati else lqr_backward
         sol: LqrSolution = backward(coeffs, reg=c.reg)
@@ -264,6 +286,15 @@ def solve(
             jnp.logical_and(any_ok, rel < settings.min_rel_cost), ~any_ok
         )
         done = jnp.logical_or(jnp.logical_and(inner_conv, feasible), stalled)
+        hist = DdpIterationLog(
+            merit=c.history.merit.at[c.it].set(merit_n),
+            cost=c.history.cost.at[c.it].set(metrics_n.cost),
+            constraint_viol=c.history.constraint_viol.at[c.it].set(viol),
+            step_accepted=c.history.step_accepted.at[c.it].set(
+                any_ok.astype(c.history.step_accepted.dtype)
+            ),
+            reg=c.history.reg.at[c.it].set(c.reg),
+        )
         return _Carry(
             xs=xs_n, us=us_n, al=al_n, reg=reg_n, merit=merit_carry,
             viol=jnp.where(any_ok, viol, c.viol), best_viol=best_viol,
@@ -271,6 +302,7 @@ def solve(
             since_outer=jnp.where(outer_due, 0, c.since_outer + 1),
             it=c.it + 1, done=done,
             gains=sol.gains, value_S=sol.value_S, value_s=sol.value_s,
+            history=hist,
         )
 
     init = _Carry(
@@ -286,6 +318,9 @@ def solve(
         gains=jnp.zeros((n, nu, nx), x0.dtype),
         value_S=jnp.zeros((n + 1, nx, nx), x0.dtype),
         value_s=jnp.zeros((n + 1, nx), x0.dtype),
+        history=DdpIterationLog(
+            *([jnp.full((settings.max_iterations,), jnp.nan, x0.dtype)] * 5)
+        ),
     )
 
     def cond(c: _Carry):
@@ -314,6 +349,7 @@ def solve(
         iterations=final.it,
         converged=final.done,
         al=final.al,
+        history=final.history,
     )
 
 

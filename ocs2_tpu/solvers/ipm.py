@@ -81,11 +81,15 @@ class IpmSettings:
     constraint_tol: float = 1e-4
     project_equalities: bool = True
     hessian_reg: float = 1e-6
-    convexify: bool = True
-    # Hessian correction strategy for convexify: "gershgorin" (cheap
-    # diagonal shift, default) or "eigh" (exact eigenvalue clamping)
+    # "auto" (default): skip when every cost term is PSD-by-construction
+    # (problem.cost_structure_psd), else correct.  NOTE the IPM barrier
+    # condensation adds its own PSD contribution, so "auto" stays valid.
+    convexify: Any = "auto"
+    # Hessian correction strategy for convexify: "eigh" (exact eigenvalue
+    # clamping, default) or "gershgorin" (cheap scalar diagonal shift; its
+    # loose bound over-damps coupled Hessians — see solvers/sqp.py)
     # (reference HessianCorrection.h:44 strategies).
-    hessian_correction: str = "gershgorin"
+    hessian_correction: str = "eigh"
     # Barrier schedule (IpmSettings initialBarrierParameter /
     # targetBarrierParameter / barrierLinearDecreaseFactor /
     # barrierSuperlinearDecreasePower).
@@ -270,6 +274,11 @@ def solve(
         inequality_terms=problem.inequality_terms,
         state_inequality_terms=problem.state_inequality_terms,
     )
+    do_convexify = (
+        not aug.cost_structure_psd
+        if settings.convexify == "auto"
+        else bool(settings.convexify)
+    )
     dims = problem.constraint_dims(_example_params(params))
     if al_init is None:
         al_init = AlState.init(dims, n, settings.al_rho_init, dtype=x0.dtype)
@@ -303,7 +312,12 @@ def solve(
     )
 
     def merit_fn(metrics, al, ipm):
-        return al_merit(metrics, al) + _barrier_term(ipm)
+        # AL handles ONLY the equality families in IPM — inequalities enter
+        # through the barrier/slack condensation.  Hiding h_ineq from
+        # al_merit keeps the line-search merit consistent with the Newton
+        # direction's model (no double penalty on inequality violation).
+        m_eq = metrics._replace(h_ineq=None, h_state_ineq=None)
+        return al_merit(m_eq, al) + _barrier_term(ipm)
 
     def total_viol(metrics, ipm, d_sse):
         return jnp.sqrt(metrics.eq_sse + _slack_gap_sse(metrics, ipm) + d_sse)
@@ -333,7 +347,7 @@ def solve(
             Qf=lq.cost.dfdxx[-1] + dQf,
             qf=lq.cost.dfdx[-1] + dqf,
         )
-        if settings.convexify:
+        if do_convexify:
             coeffs = convexify(
                 coeffs, settings.hessian_reg,
                 method=settings.hessian_correction,
@@ -478,7 +492,11 @@ def solve(
         improved = jnp.logical_or(cviol_n <= 0.5 * c.best_cviol, c_feasible)
         take_dual = jnp.logical_and(inner_conv, improved)
         take_rho = jnp.logical_and(inner_conv, ~improved)
-        dual = al_dual_ascent(metrics_n, c.al)
+        # Equality families only — inequality multipliers stay frozen at
+        # zero (inequalities are handled natively by the barrier, not AL).
+        dual = al_dual_ascent(
+            metrics_n._replace(h_ineq=None, h_state_ineq=None), c.al
+        )
         al_n = jax.tree.map(
             lambda new, old: jnp.where(take_dual, new, old), dual, c.al
         )
@@ -529,7 +547,10 @@ def solve(
         dynamics_violation_sse=defect_sse(final.xs, final.us),
         equality_constraints_sse=metrics_f.eq_sse,
         inequality_constraints_sse=metrics_f.ineq_sse,
-        equality_lagrangian=al_merit(metrics_f, final.al) - metrics_f.cost,
+        equality_lagrangian=al_merit(
+            metrics_f._replace(h_ineq=None, h_state_ineq=None), final.al
+        )
+        - metrics_f.cost,
         inequality_lagrangian=_barrier_term(final.ipm),
     )
     return IpmSolution(

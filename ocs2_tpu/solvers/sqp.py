@@ -94,11 +94,15 @@ class SqpSettings:
     reg_min: float = 0.0
     # PSD-project stage Hessians (HessianCorrection.h analogue); required
     # whenever exact Hessians of nonconvex terms can go indefinite.
-    convexify: bool = True
-    # Hessian correction strategy for convexify: "gershgorin" (cheap
-    # diagonal shift, default) or "eigh" (exact eigenvalue clamping)
+    # "auto" (default): skip when every cost term is PSD-by-construction
+    # (quadratic / Gauss-Newton — problem.cost_structure_psd), else correct.
+    convexify: Any = "auto"
+    # Hessian correction strategy for convexify: "eigh" (exact eigenvalue
+    # clamping, default) or "gershgorin" (cheap scalar diagonal shift; its
+    # loose bound over-damps coupled Hessians and can redirect the whole
+    # solve — use only for diagonally dominant problems)
     # (reference HessianCorrection.h:44 strategies).
-    hessian_correction: str = "gershgorin"
+    hessian_correction: str = "eigh"
     al_rho_init: float = 10.0
     al_rho_growth: float = 10.0
     al_rho_max: float = 1e6
@@ -115,6 +119,20 @@ class SqpSettings:
     ruiz_iterations: int = 5
 
 
+class IterationLog(NamedTuple):
+    """Per-iteration solver record, [max_iterations] arrays padded with NaN
+    beyond the executed iterations — the analogue of the reference's
+    per-iteration PerformanceIndex history (SolverBase.h:154-168) and the
+    SqpLogging ring log (ocs2_sqp/SqpLogging.h)."""
+
+    merit: Array
+    cost: Array
+    constraint_viol: Array  # sqrt(eq_sse + ineq_sse)
+    total_viol: Array  # incl. dynamics defects
+    step_size: Array  # accepted alpha (0 when rejected)
+    reg: Array
+
+
 class SqpSolution(NamedTuple):
     xs: Array
     us: Array
@@ -125,6 +143,7 @@ class SqpSolution(NamedTuple):
     iterations: Array
     converged: Array
     al: AlState
+    history: IterationLog
 
 
 class _Carry(NamedTuple):
@@ -141,10 +160,12 @@ class _Carry(NamedTuple):
     gains: Array
     value_S: Array
     value_s: Array
+    history: IterationLog
 
 
 def _defects(problem, grid, xs, us, params, method, substeps):
     """Multiple-shooting gap b_k = F(t_k, x_k, u_k) - x_{k+1} (vmapped)."""
+    grid = grid.device()
 
     def node(k):
         t = grid.times[k]
@@ -177,6 +198,11 @@ def solve(
     assert isinstance(params, dict), "params must be a dict pytree"
     project = settings.project_equalities and bool(problem.equality_terms)
     aug = augment_problem(problem, project_equalities=project)
+    do_convexify = (
+        not aug.cost_structure_psd
+        if settings.convexify == "auto"
+        else bool(settings.convexify)
+    )
     dims = problem.constraint_dims(_example_params(params))
     if al_init is None:
         al_init = AlState.init(dims, n, settings.al_rho_init, dtype=x0.dtype)
@@ -226,7 +252,7 @@ def solve(
             Qf=lq.cost.dfdxx[-1],
             qf=lq.cost.dfdx[-1],
         )
-        if settings.convexify:
+        if do_convexify:
             coeffs = convexify(
                 coeffs, settings.hessian_reg,
                 method=settings.hessian_correction,
@@ -250,9 +276,13 @@ def solve(
                 dus_r = scal.d_u * psol.dus
                 nv = qp_coeffs.B.shape[-1]
                 zero_gains = jnp.zeros((n, nv, nx), x0.dtype)
+                # PIPG computes no value function (reference SlpSolver has
+                # none either).  NaN-fill instead of zero so downstream
+                # consumers (switch_time_gradients, hamiltonian_from_lq)
+                # fail visibly rather than computing garbage silently.
                 value = (
-                    jnp.zeros((n + 1, nx, nx), x0.dtype),
-                    jnp.zeros((n + 1, nx), x0.dtype),
+                    jnp.full((n + 1, nx, nx), jnp.nan, x0.dtype),
+                    jnp.full((n + 1, nx), jnp.nan, x0.dtype),
                 )
                 return dxs, dus_r, zero_gains, value
             backward = (
@@ -392,6 +422,16 @@ def solve(
             jnp.logical_and(primal_conv, c_feasible),
             jnp.logical_and(inner_conv, viol_n < settings.constraint_tol),
         )
+        hist = IterationLog(
+            merit=c.history.merit.at[c.it].set(merit_n),
+            cost=c.history.cost.at[c.it].set(metrics_n.cost),
+            constraint_viol=c.history.constraint_viol.at[c.it].set(cviol_n),
+            total_viol=c.history.total_viol.at[c.it].set(viol_n),
+            step_size=c.history.step_size.at[c.it].set(
+                jnp.where(any_ok, alphas[first_ok], 0.0)
+            ),
+            reg=c.history.reg.at[c.it].set(c.reg),
+        )
         return _Carry(
             xs=xs_n, us=us_n, al=al_n, merit=merit_carry, viol=viol_n,
             best_cviol=best_cviol,
@@ -399,8 +439,10 @@ def solve(
             reg=reg_n,
             it=c.it + 1, done=done,
             gains=gains, value_S=value_S, value_s=value_s,
+            history=hist,
         )
 
+    empty_log = jnp.full((settings.max_iterations,), jnp.nan, x0.dtype)
     init = _Carry(
         xs=xs_init, us=us_init, al=al_init, merit=merit0,
         viol=jnp.asarray(jnp.inf, x0.dtype),
@@ -412,6 +454,7 @@ def solve(
         gains=jnp.zeros((n, nu, nx), x0.dtype),
         value_S=jnp.zeros((n + 1, nx, nx), x0.dtype),
         value_s=jnp.zeros((n + 1, nx), x0.dtype),
+        history=IterationLog(*([empty_log] * 6)),
     )
 
     def cond(c: _Carry):
@@ -442,4 +485,5 @@ def solve(
         iterations=final.it,
         converged=final.done,
         al=final.al,
+        history=final.history,
     )

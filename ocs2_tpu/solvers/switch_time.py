@@ -45,6 +45,7 @@ def switch_time_gradients(
     """Per-jump-node Hamiltonian jumps dJ/dt_e, shape [N] (zero at non-jump
     transitions).  ``value_s`` is the solver's cost-to-go gradient [N+1, nx]
     (SqpSolution.value_s / DdpSolution.value_s)."""
+    grid = grid.device()
     n = grid.num_intervals
 
     def node_h(k, x, u):
