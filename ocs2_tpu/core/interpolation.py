@@ -29,6 +29,8 @@ def interpolate(times: Array, values: Array, t: Array) -> Array:
     Boundary behavior matches the reference LinearInterpolation::interpolate:
     clamp to the first/last sample (alpha clipped to [0, 1]).
     """
+    times = jnp.asarray(times)
+    values = jnp.asarray(values)
     if times.shape[0] == 1:
         return values[0]
     i = lookup_index(times, t)

@@ -105,15 +105,56 @@ class Chain:
         return jax.jacfwd(self.ee_position)(q)
 
 
+def matrix_to_quaternion(r: Array) -> Array:
+    """Rotation matrix -> unit quaternion [x, y, z, w], branch-robust.
+
+    Shepperd's method evaluated on all four branches with the largest pivot
+    selected by masking — jit/vmap friendly and AD-safe (every sqrt argument
+    is clamped so unselected branches never produce NaN cotangents)."""
+    m00, m01, m02 = r[0, 0], r[0, 1], r[0, 2]
+    m10, m11, m12 = r[1, 0], r[1, 1], r[1, 2]
+    m20, m21, m22 = r[2, 0], r[2, 1], r[2, 2]
+    tw = 1.0 + m00 + m11 + m22  # 4 w^2
+    tx = 1.0 + m00 - m11 - m22  # 4 x^2
+    ty = 1.0 - m00 + m11 - m22  # 4 y^2
+    tz = 1.0 - m00 - m11 + m22  # 4 z^2
+
+    def safe_sqrt(v):
+        return jnp.sqrt(jnp.maximum(v, 1e-12))
+
+    sw, sx, sy, sz = safe_sqrt(tw), safe_sqrt(tx), safe_sqrt(ty), safe_sqrt(tz)
+    # Candidate quaternions (x, y, z, w), one per pivot.
+    q_w = jnp.stack([(m21 - m12) / (2 * sw), (m02 - m20) / (2 * sw),
+                     (m10 - m01) / (2 * sw), 0.5 * sw])
+    q_x = jnp.stack([0.5 * sx, (m01 + m10) / (2 * sx),
+                     (m02 + m20) / (2 * sx), (m21 - m12) / (2 * sx)])
+    q_y = jnp.stack([(m01 + m10) / (2 * sy), 0.5 * sy,
+                     (m12 + m21) / (2 * sy), (m02 - m20) / (2 * sy)])
+    q_z = jnp.stack([(m02 + m20) / (2 * sz), (m12 + m21) / (2 * sz),
+                     0.5 * sz, (m10 - m01) / (2 * sz)])
+    ts = jnp.stack([tw, tx, ty, tz])
+    qs = jnp.stack([q_w, q_x, q_y, q_z])
+    pick = jnp.argmax(ts)
+    q = qs[pick]
+    return q / jnp.linalg.norm(q)
+
+
+def quaternion_distance(q: Array, q_ref: Array) -> Array:
+    """Reference quaternionDistance (RotationTransforms.h:51):
+    e = q.w * qRef.vec - qRef.w * q.vec + q.vec x qRef.vec — zero iff the
+    frames align, magnitude sin(theta/2): well-conditioned at every relative
+    angle including pi (where the so(3)-log vee degenerates)."""
+    qv, qw = q[:3], q[3]
+    rv, rw = q_ref[:3], q_ref[3]
+    return qw * rv - rw * qv + jnp.cross(qv, rv)
+
+
 def rotation_error(r: Array, r_des: Array) -> Array:
-    """so(3) log of r_des^T r — the orientation error used by the reference's
-    EndEffectorKinematics orientation-error interface."""
-    rel = r_des.T @ r
-    # Vee of the skew-symmetric part, scaled by the rotation angle.
-    cos_angle = jnp.clip(0.5 * (jnp.trace(rel) - 1.0), -1.0 + 1e-6, 1.0 - 1e-6)
-    angle = jnp.arccos(cos_angle)
-    vee = 0.5 * jnp.array(
-        [rel[2, 1] - rel[1, 2], rel[0, 2] - rel[2, 0], rel[1, 0] - rel[0, 1]]
-    )
-    scale = jnp.where(angle < 1e-5, 1.0, angle / jnp.sin(angle))
-    return scale * vee
+    """Orientation error between rotation matrices via the reference's
+    quaternion distance (ocs2_robotic_tools RotationTransforms.h:51, used by
+    EndEffectorKinematics getOrientationError).  Sign-fixed to the hemisphere
+    nearest the target so the error is continuous around identity."""
+    q = matrix_to_quaternion(r)
+    q_ref = matrix_to_quaternion(r_des)
+    q = jnp.where(jnp.dot(q, q_ref) < 0.0, -q, q)
+    return quaternion_distance(q, q_ref)

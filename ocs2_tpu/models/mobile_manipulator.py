@@ -77,6 +77,20 @@ def ee_tracking_cost(t, x, u, p):
     return c
 
 
+def ee_final_cost(t, x, p):
+    """Terminal EE pose cost (reference task.info `finalEndEffector`,
+    ocs2_mobile_manipulator/config/*/task.info:195-198) — anchors the end of
+    the horizon on the target so tracking error doesn't decay into the
+    horizon tail."""
+    pos, rot = ee_pose(x)
+    err = pos - p["ee_target"]
+    c = 50.0 * jnp.sum(err**2)
+    if isinstance(p, dict) and "ee_target_rot" in p:
+        rot_err = rotation_error(rot, p["ee_target_rot"])
+        c = c + 30.0 * jnp.sum(rot_err**2)
+    return c
+
+
 def input_cost(t, x, u, p):
     del t, x, p
     return 0.5 * jnp.sum((u / VEL_LIMIT) ** 2)
@@ -135,6 +149,7 @@ def make_problem(
     base = OptimalControlProblem(
         dynamics=dynamics,
         cost_terms=(ee_tracking_cost, input_cost),
+        final_cost_terms=(ee_final_cost,),
         nx=NX,
         nu=NU,
     )
@@ -153,12 +168,18 @@ def make_problem(
         )
     if constraint_mode == "soft":
         barrier = pen.relaxed_barrier(mu=1e-2, delta=1e-3)
+        state_soft = tuple(
+            soft_constraint(g, barrier, with_input=False)
+            for g in [joint_limits] + state_ineq
+        )
         return base.add(
             cost_terms=(soft_constraint(velocity_limits, barrier),),
-            state_cost_terms=tuple(
-                soft_constraint(g, barrier, with_input=False)
-                for g in [joint_limits] + state_ineq
-            ),
+            state_cost_terms=state_soft,
+            # Un-integrated running soft constraints carry only ~dt/2 weight
+            # at the last node; re-applying them in the final cost keeps the
+            # terminal EE from trading clearance against the (equally
+            # un-integrated) final pose cost.
+            final_cost_terms=state_soft,
         )
     if constraint_mode == "hard":
         return base.add(

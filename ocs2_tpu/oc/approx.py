@@ -18,6 +18,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.integrate import DiscreteTransition, discretize
 from ..core.types import ScalarQuadraticApproximation, VectorLinearApproximation
@@ -193,12 +194,27 @@ def quadratize_final_cost(problem, t, x, p, nu: int):
     return total
 
 
+def device_params(params: Any):
+    """jnp views of every numpy array leaf in the parameter pytree.
+
+    Host-built reference data (swing plans, targets, grids) carries numpy
+    leaves to avoid committed-device-array capture in user jit closures; but
+    numpy arrays cannot be indexed by tracers (``p["swing_vz"][node]`` with a
+    traced node).  Solvers call this once at entry: under jit-with-arguments
+    it is a no-op on tracers, under closure capture it bakes the leaves into
+    the program as XLA constants (still no host sync)."""
+    return jax.tree.map(
+        lambda v: jnp.asarray(v) if isinstance(v, (np.ndarray, np.generic)) else v,
+        params,
+    )
+
+
 def node_params(params: Any, grid: TimeGrid, k):
     """Inject the per-node mode and node index into the (dict) parameter
     pytree — consumed by mode-switched dynamics (lax.switch) and by
     augmented-Lagrangian terms gathering their multiplier row."""
     if isinstance(params, dict):
-        p = dict(params)
+        p = device_params(params)
         p["mode"] = grid.modes[k]
         p["node"] = k
         return p

@@ -194,7 +194,9 @@ def solve(
 
     # Initial rollout (reference initializePrimalSolution / rolloutInitial...).
     xs0, us0 = ro(problem, grid, x0, open_loop_policy(us_init), params)
-    merit0 = al_merit(eval_traj(xs0, us0), al_init)
+    metrics0 = eval_traj(xs0, us0)
+    merit0 = al_merit(metrics0, al_init)
+    viol0 = jnp.sqrt(metrics0.eq_sse + metrics0.ineq_sse)
 
     alphas = settings.alpha_decay ** jnp.arange(settings.num_alphas, dtype=x0.dtype)
 
@@ -309,8 +311,8 @@ def solve(
         xs=xs0, us=us0, al=al_init,
         reg=jnp.asarray(settings.reg_init, x0.dtype),
         merit=merit0,
-        viol=jnp.asarray(jnp.inf, x0.dtype),
-        best_viol=jnp.asarray(jnp.inf, x0.dtype),
+        viol=viol0.astype(x0.dtype),
+        best_viol=viol0.astype(x0.dtype),
         rel_decrease=jnp.asarray(jnp.inf, x0.dtype),
         since_outer=jnp.zeros((), jnp.int32),
         it=jnp.zeros((), jnp.int32),

@@ -523,10 +523,14 @@ def solve(
             gains=gains, value_S=sol.value_S, value_s=sol.value_s,
         )
 
+    # Filter baseline from the initial trajectory's actual violation (not inf,
+    # which would let the first accepted step trade any merit explosion for a
+    # trivial violation decrease) — see solvers/sqp.py.
+    viol0 = total_viol(metrics0, ipm0, defect_sse(xs_init, us_init))
     init = _Carry(
         xs=xs_init, us=us_init, al=al_init, ipm=ipm0, merit=merit0,
-        viol=jnp.asarray(jnp.inf, x0.dtype),
-        best_cviol=jnp.asarray(jnp.inf, x0.dtype),
+        viol=viol0.astype(x0.dtype),
+        best_cviol=jnp.sqrt(metrics0.eq_sse).astype(x0.dtype),
         it=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
         gains=jnp.zeros((n, nu, nx), x0.dtype),

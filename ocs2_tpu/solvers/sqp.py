@@ -229,6 +229,12 @@ def solve(
 
     metrics0 = eval_traj(xs_init, us_init)
     merit0 = al_merit(metrics0, al_init)
+    # Filter baseline = the initial trajectory's actual violation (reference
+    # FilterLinesearch keeps the previous iterate's baseline; seeding with inf
+    # would let the first accepted step trade any merit explosion for a
+    # trivial violation decrease).
+    viol0 = total_viol(metrics0, defect_sse(xs_init, us_init))
+    cviol0 = jnp.sqrt(metrics0.eq_sse + metrics0.ineq_sse)
     alphas = settings.alpha_decay ** jnp.arange(settings.num_alphas, dtype=x0.dtype)
 
     def iteration(c: _Carry) -> _Carry:
@@ -445,8 +451,8 @@ def solve(
     empty_log = jnp.full((settings.max_iterations,), jnp.nan, x0.dtype)
     init = _Carry(
         xs=xs_init, us=us_init, al=al_init, merit=merit0,
-        viol=jnp.asarray(jnp.inf, x0.dtype),
-        best_cviol=jnp.asarray(jnp.inf, x0.dtype),
+        viol=viol0.astype(x0.dtype),
+        best_cviol=cviol0.astype(x0.dtype),
         since_outer=jnp.zeros((), jnp.int32),
         reg=jnp.asarray(settings.reg_init, x0.dtype),
         it=jnp.zeros((), jnp.int32),

@@ -131,7 +131,12 @@ class TestMobileManipulator:
     def test_orientation_tracking(self):
         problem = mm.make_problem("soft")
         grid = uniform_grid(0.0, 3.0, 40)
-        x0 = mm.home_state()
+        # Slight base-yaw offset: the plain home state is EXACTLY antipodal
+        # to the target rotation (relative quaternion angle pi), which is a
+        # true stationary saddle of the quaternion-distance cost (reference
+        # RotationTransforms.h:51 has the identical property) — no
+        # Gauss-Newton method moves off it in exact arithmetic.
+        x0 = mm.home_state().at[2].set(0.2)
         # Point the tool straight down (z-axis of EE frame -> -z world).
         r_target = jnp.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
         params = mm.make_params(ee_target=(0.9, 0.0, 0.6), ee_target_rot=r_target)

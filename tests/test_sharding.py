@@ -1,0 +1,130 @@
+"""Multi-device sharding validation on the 8-device CPU mesh.
+
+Validates the two mesh axes the framework shards over:
+* scenario axis — batched full solves sharded over devices
+  (parallel/mesh.py `sharded`), the analogue of running many independent MPC
+  plants; must be bit-compatible with the per-scenario unsharded solve.
+* time (horizon) axis — the horizon-sharded PIPG kernel
+  (parallel/horizon.py) whose per-iteration coupling is a ppermute halo
+  exchange; must match the single-device PIPG kernel (ops/pipg.py) and the
+  exact Riccati solution.
+
+Reference analogue: PIPG fanned over the ThreadPool
+(ocs2_slp/src/pipg/PipgSolver.cpp:49-231) with per-thread stage ranges —
+here the "threads" are mesh devices and the shared-memory reads are ICI
+collectives.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lq_fixtures import random_lq_coeffs
+
+from ocs2_tpu.ops.pipg import PipgSettings, pipg_solve
+from ocs2_tpu.ops.riccati import lqr_backward, lqr_forward
+from ocs2_tpu.parallel.horizon import pipg_solve_horizon_sharded
+from ocs2_tpu.parallel.mesh import make_mesh, sharded
+
+
+@pytest.fixture(scope="module")
+def time_mesh():
+    return Mesh(np.asarray(jax.devices()), ("time",))
+
+
+class TestHorizonShardedPipg:
+    def test_matches_single_device_pipg(self, time_mesh):
+        """Sharded and single-device PIPG run the same iteration, so their
+        trajectories agree to float tolerance."""
+        coeffs = random_lq_coeffs(jax.random.PRNGKey(3), 32, nx=6, nu=3)
+        settings = PipgSettings(num_iterations=3000)
+        ref = pipg_solve(coeffs, settings)
+        shd = jax.jit(
+            lambda c: pipg_solve_horizon_sharded(c, time_mesh, settings)
+        )(coeffs)
+        np.testing.assert_allclose(
+            np.asarray(shd.dxs), np.asarray(ref.dxs), rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(shd.dus), np.asarray(ref.dus), rtol=2e-3, atol=2e-3
+        )
+
+    def test_matches_riccati_exact(self, time_mesh):
+        """Horizon-sharded PIPG converges to the exact equality-QP solution
+        (Riccati scan ground truth, the in-repo HPIPM analogue)."""
+        coeffs = random_lq_coeffs(
+            jax.random.PRNGKey(11), 32, nx=4, nu=2, defect_scale=0.05
+        )
+        sol = lqr_backward(coeffs)
+        dxs_ref, dus_ref = lqr_forward(coeffs, sol, jnp.zeros((4,)))
+        shd = jax.jit(
+            lambda c: pipg_solve_horizon_sharded(
+                c, time_mesh, PipgSettings(num_iterations=8000)
+            )
+        )(coeffs)
+        err_x = float(jnp.max(jnp.abs(shd.dxs - dxs_ref)))
+        err_u = float(jnp.max(jnp.abs(shd.dus - dus_ref)))
+        scale = float(jnp.max(jnp.abs(dxs_ref))) + 1e-9
+        assert err_x / scale < 5e-3, (err_x, scale)
+        assert err_u / scale < 5e-2, (err_u, scale)
+
+    def test_residual_decreases_with_iterations(self, time_mesh):
+        coeffs = random_lq_coeffs(jax.random.PRNGKey(5), 16, nx=4, nu=2)
+        r_short = pipg_solve_horizon_sharded(
+            coeffs, time_mesh, PipgSettings(num_iterations=50)
+        ).primal_residual
+        r_long = pipg_solve_horizon_sharded(
+            coeffs, time_mesh, PipgSettings(num_iterations=2000)
+        ).primal_residual
+        assert float(r_long) < float(r_short)
+
+
+class TestScenarioSharding:
+    def test_sharded_solve_matches_unsharded(self):
+        """A scenario batch sharded over the 8-device mesh produces the same
+        solutions as the single-device vmapped solve."""
+        from ocs2_tpu.models import cartpole
+        from ocs2_tpu.oc.time_discretization import uniform_grid
+        from ocs2_tpu.solvers import sqp
+
+        problem = cartpole.make_problem()
+        grid = uniform_grid(0.0, 1.5, 24)
+        params = cartpole.make_params()
+        st = sqp.SqpSettings(max_iterations=8, integrator="rk2")
+
+        def solve_one(x0):
+            sol = sqp.solve(problem, grid, x0, params, settings=st)
+            return sol.xs, sol.us, sol.performance.cost
+
+        batch = 16
+        key = jax.random.PRNGKey(0)
+        x0s = 0.1 * jax.random.normal(key, (batch, problem.nx))
+        x0s = x0s.at[:, 1].add(jnp.pi)  # near hanging pole
+
+        mesh = make_mesh()
+        run = sharded(solve_one, mesh)
+        xs_s, us_s, cost_s = run(
+            jax.device_put(x0s, NamedSharding(mesh, P("scenario")))
+        )
+        xs_r, us_r, cost_r = jax.jit(jax.vmap(solve_one))(x0s)
+        np.testing.assert_allclose(
+            np.asarray(cost_s), np.asarray(cost_r), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(xs_s), np.asarray(xs_r), rtol=1e-3, atol=1e-4
+        )
+        assert bool(jnp.all(jnp.isfinite(cost_s)))
+
+    def test_sharded_output_layout(self):
+        """Outputs come back sharded over the scenario axis (no implicit
+        gather to one device)."""
+        mesh = make_mesh()
+
+        def f(x):
+            return 2.0 * x, jnp.sum(x)
+
+        run = sharded(f, mesh)
+        x = jnp.arange(16.0).reshape(16, 1)
+        y, s = run(jax.device_put(x, NamedSharding(mesh, P("scenario"))))
+        assert len(y.sharding.device_set) == len(jax.devices())
