@@ -178,11 +178,18 @@ def ruiz_equilibrate(coeffs: LqrCoeffs, iterations: int = 5):
         colx_a = jnp.max(jnp.abs(cur.A), axis=1)  # [N, nx] for dx_k
         colx_q = jnp.max(jnp.abs(cur.Qxx), axis=1)
         colx_qux = jnp.max(jnp.abs(cur.Qux), axis=1)  # [N, nx]
-        colx = jnp.ones((n + 1, nx), dt)  # -I block contributes 1 everywhere
-        colx = colx.at[:-1].max(
-            jnp.maximum(colx_a, jnp.maximum(colx_q, colx_qux))
+        # -I block contributes 1 to every column; scatter-free concat form
+        # (a .at[].max scatter here miscompiles under the XLA CPU SPMD
+        # partitioner when this feeds a shard_map in the same jit).
+        colx = jnp.concatenate(
+            [
+                jnp.maximum(
+                    1.0, jnp.maximum(colx_a, jnp.maximum(colx_q, colx_qux))
+                ),
+                jnp.maximum(1.0, jnp.max(jnp.abs(cur.Qf), axis=0))[None],
+            ],
+            axis=0,
         )
-        colx = colx.at[-1].max(jnp.max(jnp.abs(cur.Qf), axis=0))
         colu = jnp.maximum(
             jnp.max(jnp.abs(cur.B), axis=1),
             jnp.maximum(
