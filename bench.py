@@ -11,9 +11,19 @@ Additional north-star metrics (BASELINE.json):
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
-NOTE every jitted function takes its data (grid/params/warm start) as
-ARGUMENTS — closed-over committed device arrays cost a fixed ~25 ms host
-sync per call on remote TPU backends (see ocs2_tpu/oc/time_discretization.py).
+MEASUREMENT NOTES (axon tunneled-TPU backend semantics, established
+empirically):
+* `jax.block_until_ready` does NOT wait for device execution until the
+  process has performed one device->host readback; after the first readback
+  the client switches to a polling sync with ~25 ms granularity.  All
+  timings below therefore (1) perform one sacrificial readback up front so
+  every subsequent sync is honest, and (2) fence with a tiny device->host
+  readback (`_fence`).
+* The legged MPC metric times CHAINS of data-dependent solves (each tick's
+  initial state and warm start come from the previous solution — exactly the
+  receding-horizon dependency structure), with one fence per chain so the
+  ~25 ms poll amortizes instead of polluting every tick.  Reported
+  p50/p99 are per-solve times of chain segments.
 """
 import json
 import time
@@ -21,15 +31,26 @@ import time
 import numpy as np
 
 
-def _timeit(fn, *args, reps=20, warmup=2):
+def _fence(x) -> None:
+    """True execution fence: tiny device->host readback."""
+    leaf = jax_tree_first(x)
+    np.asarray(leaf).ravel()[:1]
+
+
+def jax_tree_first(x):
     import jax
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+    leaves = jax.tree.leaves(x)
+    return leaves[0]
+
+
+def _timeit(fn, *args, reps=20, warmup=2):
     lat = []
+    for _ in range(warmup):
+        _fence(fn(*args))
     for _ in range(reps):
         tic = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _fence(fn(*args))
         lat.append(time.perf_counter() - tic)
     return np.asarray(lat)
 
@@ -53,28 +74,37 @@ def bench_legged_mpc():
         event_times=np.asarray(ms.event_times),
         mode_sequence=np.asarray(ms.mode_sequence),
     )
-    params = interface.make_params(grid)
+    params = jax.device_put(interface.make_params(grid))
     u0 = model.weight_compensating_input(jnp.ones(4))
     us_init = jnp.tile(u0[None], (num_intervals, 1))
     settings = sqp.SqpSettings(max_iterations=10, integrator="rk2")
 
     @jax.jit
-    def solve(x0, grid, params, us_init):
-        return sqp.solve(
-            problem, grid, x0, params, us_init=us_init, settings=settings
-        ).xs
+    def solve_tick(x0, us_warm, params):
+        """One MPC tick: solve, then produce the next tick's initial state
+        (advance one node along the optimized trajectory, receding-horizon
+        style) and warm start (the solved inputs)."""
+        sol = sqp.solve(
+            problem, grid, x0, params, us_init=us_warm, settings=settings
+        )
+        return sol.xs[1], sol.us, sol.xs
 
     x0 = model.default_state()
-    jax.block_until_ready(solve(x0, grid, params, us_init))  # compile
+    out = solve_tick(x0, us_init, params)  # compile
+    _fence(out)  # sacrificial readback: honest syncs from here on
 
-    # Warm latency: sequential solves (MPC-loop shape).
-    lat = []
-    for i in range(30):
-        xi = x0 + 1e-3 * jnp.sin(jnp.arange(model.NX) * (i + 1))
+    # Dependent-chain latency: chains of `seg` receding-horizon ticks, one
+    # fence per chain; per-solve latency = chain time / seg.
+    seg, chains = 8, 12
+    per_solve = []
+    x, us = x0, us_init
+    for _ in range(chains):
         tic = time.perf_counter()
-        jax.block_until_ready(solve(xi, grid, params, us_init))
-        lat.append(time.perf_counter() - tic)
-    lat = np.asarray(lat)
+        for _ in range(seg):
+            x, us, xs = solve_tick(x, us, params)
+        _fence(xs)
+        per_solve.append((time.perf_counter() - tic) / seg)
+    lat = np.asarray(per_solve)
 
     # Batched throughput (scenario batching on one chip).
     batch = 256
@@ -82,9 +112,12 @@ def bench_legged_mpc():
         jnp.arange(batch)[:, None] * jnp.arange(model.NX)[None, :]
     )
     bsolve = jax.jit(
-        jax.vmap(lambda x, g, p, u: solve(x, g, p, u), in_axes=(0, None, None, None))
+        jax.vmap(
+            lambda x, u, p: solve_tick(x, u, p)[2],
+            in_axes=(0, None, None),
+        )
     )
-    blat = _timeit(bsolve, x0s, grid, params, us_init, reps=3)
+    blat = _timeit(bsolve, x0s, us_init, params, reps=3)
     return {
         "solves_per_s": 1.0 / lat.mean(),
         "p50_ms": float(np.percentile(lat, 50) * 1e3),
@@ -104,7 +137,7 @@ def bench_batched_ddp_ballbot(batch=4096):
 
     problem = ballbot.make_problem()
     grid = uniform_grid(0.0, 1.0, 32)
-    params = ballbot.make_params()
+    params = jax.device_put(ballbot.make_params())
     st = ddp.DdpSettings(algorithm="ilqr", max_iterations=8)
 
     solve = jax.jit(
@@ -130,7 +163,7 @@ def bench_batched_quadrotor(batch=4096):
 
     problem = quadrotor.make_problem()
     grid = uniform_grid(0.0, 2.0, 40)
-    params = quadrotor.make_params()
+    params = jax.device_put(quadrotor.make_params())
     st = sqp.SqpSettings(max_iterations=8, integrator="rk4")
     solve = jax.jit(
         jax.vmap(

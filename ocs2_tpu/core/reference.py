@@ -12,6 +12,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .interpolation import interpolate
 
@@ -19,7 +20,7 @@ Array = jax.Array
 
 # Padding sentinel for unused event slots: +inf keeps searchsorted semantics
 # correct (an unused event never triggers).
-_INF = jnp.inf
+_INF = np.inf
 
 
 class ModeSchedule(NamedTuple):
@@ -31,40 +32,47 @@ class ModeSchedule(NamedTuple):
     num_events: [] int32 — number of valid entries in event_times.
 
     Mirrors reference ModeSchedule (ModeSchedule.h:42; modeAtTime :67).
+
+    HOST DATA (numpy leaves): the MPC host loop consumes mode schedules every
+    tick to build time grids; device-array leaves would force a device->host
+    readback per tick, which flips the remote-TPU client's blocking path into
+    a ~25 ms polling mode for the whole process.  Passed into jit, numpy
+    leaves convert at the boundary exactly like device arrays.
     """
 
-    event_times: Array
-    mode_sequence: Array
-    num_events: Array
+    event_times: np.ndarray
+    mode_sequence: np.ndarray
+    num_events: np.ndarray
 
     @staticmethod
     def create(event_times, mode_sequence, capacity: int | None = None):
-        event_times = jnp.asarray(event_times, jnp.float32).reshape(-1)
-        mode_sequence = jnp.asarray(mode_sequence, jnp.int32).reshape(-1)
+        event_times = np.asarray(event_times, np.float32).reshape(-1)
+        mode_sequence = np.asarray(mode_sequence, np.int32).reshape(-1)
         k = event_times.shape[0]
         if capacity is None:
             capacity = k
         assert mode_sequence.shape[0] == k + 1, "need one more mode than events"
-        pad_t = jnp.full((capacity - k,), _INF, event_times.dtype)
-        pad_m = jnp.full((capacity - k,), mode_sequence[-1], jnp.int32)
+        pad_t = np.full((capacity - k,), _INF, event_times.dtype)
+        pad_m = np.full((capacity - k,), mode_sequence[-1], np.int32)
         return ModeSchedule(
-            event_times=jnp.concatenate([event_times, pad_t]),
-            mode_sequence=jnp.concatenate([mode_sequence, pad_m]),
-            num_events=jnp.asarray(k, jnp.int32),
+            event_times=np.concatenate([event_times, pad_t]),
+            mode_sequence=np.concatenate([mode_sequence, pad_m]),
+            num_events=np.asarray(k, np.int32),
         )
 
     @staticmethod
     def single_mode(mode: int = 0, capacity: int = 0):
         return ModeSchedule(
-            event_times=jnp.full((capacity,), _INF, jnp.float32),
-            mode_sequence=jnp.full((capacity + 1,), mode, jnp.int32),
-            num_events=jnp.asarray(0, jnp.int32),
+            event_times=np.full((capacity,), _INF, np.float32),
+            mode_sequence=np.full((capacity + 1,), mode, np.int32),
+            num_events=np.asarray(0, np.int32),
         )
 
     def mode_at_time(self, t: Array) -> Array:
-        """Active mode at time t (reference ModeSchedule.h:67)."""
-        idx = jnp.searchsorted(self.event_times, t, side="right")
-        return self.mode_sequence[idx]
+        """Active mode at time t (reference ModeSchedule.h:67).  Works both
+        host-side (numpy t) and in-jit (traced t; leaves coerce to jnp)."""
+        idx = jnp.searchsorted(jnp.asarray(self.event_times), t, side="right")
+        return jnp.asarray(self.mode_sequence)[idx]
 
     @property
     def capacity(self) -> int:

@@ -47,19 +47,40 @@ Q_DIAG = np.concatenate(
 # nominal configuration: R_qdot = J^T R_task J (LeggedRobotInterface.cpp:
 # 238-269 initializeInputCostWeight).  A direct 5.0 on joint velocities
 # over-penalizes leg swing ~25x and freezes the gait.
-def _input_cost_weight() -> np.ndarray:
-    import jax as _jax
+def _foot_jacobian_np(leg: int, q_leg: np.ndarray) -> np.ndarray:
+    """d foot_position_base / d (haa, hfe, kfe) in PURE numpy.
 
+    Must not touch jax: a device->host readback at import time flips the
+    remote-TPU client's blocking path into a ~25 ms polling mode for the
+    rest of the process (observed on the axon PJRT tunnel), destroying MPC
+    tick latency.  Mirrors model.foot_position_base analytically."""
+    haa, hfe, kfe = float(q_leg[0]), float(q_leg[1]), float(q_leg[2])
+    lt, ls = model.THIGH_LENGTH, model.SHANK_LENGTH
+    side = model.leg_side_sign(leg)
+    # Sagittal-plane position and its derivatives wrt hfe/kfe.
+    x_p = -lt * np.sin(hfe) - ls * np.sin(hfe + kfe)
+    z_p = -lt * np.cos(hfe) - ls * np.cos(hfe + kfe)
+    dx_dhfe = -lt * np.cos(hfe) - ls * np.cos(hfe + kfe)
+    dx_dkfe = -ls * np.cos(hfe + kfe)
+    dz_dhfe = lt * np.sin(hfe) + ls * np.sin(hfe + kfe)
+    dz_dkfe = ls * np.sin(hfe + kfe)
+    p = np.array([x_p, side * model.HIP_LATERAL, z_p])
+    dp_dhfe = np.array([dx_dhfe, 0.0, dz_dhfe])
+    dp_dkfe = np.array([dx_dkfe, 0.0, dz_dkfe])
+    c, s = np.cos(haa), np.sin(haa)
+    rx = np.array([[1.0, 0, 0], [0, c, -s], [0, s, c]])
+    drx = np.array([[0.0, 0, 0], [0, -s, -c], [0, c, -s]])
+    jac = np.stack([drx @ p, rx @ dp_dhfe, rx @ dp_dkfe], axis=1)
+    return jac.astype(np.float32)
+
+
+def _input_cost_weight() -> np.ndarray:
     q_nom = model.DEFAULT_JOINTS.reshape(model.NUM_LEGS, 3)
     r = np.zeros((model.NU, model.NU), np.float32)
     r[:12, :12] = np.diag(np.full((12,), 1e-3, np.float32))  # contact forces
     r_task = 5000.0 * 1e-3  # foot-velocity weight (task.info R scaling)
     for leg in range(model.NUM_LEGS):
-        jac = np.asarray(
-            _jax.jacfwd(lambda qq, leg=leg: model.foot_position_base(leg, qq))(
-                jnp.asarray(q_nom[leg])
-            )
-        )
+        jac = _foot_jacobian_np(leg, q_nom.reshape(model.NUM_LEGS, 3)[leg])
         block = r_task * (jac.T @ jac)
         s = slice(12 + 3 * leg, 12 + 3 * (leg + 1))
         r[s, s] = block
