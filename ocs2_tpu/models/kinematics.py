@@ -8,16 +8,20 @@ chain is a static description (pytree of constants); FK is a pure jittable
 function; Jacobians come from ``jax.jacfwd`` (replacing both Pinocchio's
 analytic derivatives and the CppAd codegen variants).
 
-Only revolute and prismatic joints about principal axes are supported —
-sufficient for the shipped robot examples (manipulator arms, quadruped legs).
+Revolute/prismatic joints about arbitrary axes with full URDF-style origins
+(xyz translation + rpy rotation) are supported; principal-axis joints take a
+cheaper closed-form rotation.  Chains are extracted from URDF trees by
+models/urdf.py (the reference's urdf.h front door).
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+import math
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -34,13 +38,68 @@ def rot_axis(axis: int, angle):
     return jnp.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
 
 
+def rot_any_axis(axis_vec, angle):
+    """Rodrigues rotation about a constant unit axis (URDF <axis xyz>)."""
+    a = jnp.asarray(axis_vec)
+    kx, ky, kz = a[0], a[1], a[2]
+    K = jnp.array([[0.0, -kz, ky], [kz, 0.0, -kx], [-ky, kx, 0.0]])
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+
+
+def rpy_matrix(rpy) -> np.ndarray:
+    """URDF origin rpy (fixed-axis XYZ: R = Rz(y) Ry(p) Rx(r)) — host-side."""
+    r, p, y = float(rpy[0]), float(rpy[1]), float(rpy[2])
+    cr, sr = math.cos(r), math.sin(r)
+    cp, sp = math.cos(p), math.sin(p)
+    cy, sy = math.cos(y), math.sin(y)
+    rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+    ry = np.array([[cp, 0, sp], [0, 1.0, 0], [-sp, 0, cp]])
+    rx = np.array([[1.0, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    return rz @ ry @ rx
+
+
+def _axis_spec(axis) -> tuple:
+    """Normalize an axis spec: 'x'|'y'|'z' or a 3-vector (possibly negated
+    principal).  Returns ("principal", idx, sign) or ("free", unit_vec)."""
+    if isinstance(axis, str):
+        return ("principal", _AXES[axis], 1.0)
+    v = np.asarray(axis, np.float64)
+    n = np.linalg.norm(v)
+    v = v / (n if n > 0 else 1.0)
+    for i in range(3):
+        e = np.zeros(3)
+        e[i] = 1.0
+        if np.allclose(v, e, atol=1e-9):
+            return ("principal", i, 1.0)
+        if np.allclose(v, -e, atol=1e-9):
+            return ("principal", i, -1.0)
+    return ("free", tuple(v.tolist()))
+
+
 @dataclasses.dataclass(frozen=True)
 class Joint:
-    """One joint: fixed translation, then rotation/translation about axis."""
+    """One joint: fixed origin (translation + rotation), then motion about
+    an axis (URDF joint semantics)."""
 
     offset: Tuple[float, float, float]  # parent->joint translation (parent frame)
-    axis: str = "z"  # x|y|z
+    axis: object = "z"  # "x"|"y"|"z" or a 3-tuple axis vector
     kind: str = "revolute"  # revolute | prismatic | fixed
+    # Fixed origin rotation (URDF rpy), row-major 9-tuple; None = identity.
+    origin_rot: Optional[Tuple[float, ...]] = None
+    name: str = ""
+
+    def _motion_rot(self, angle):
+        mode = _axis_spec(self.axis)
+        if mode[0] == "principal":
+            return rot_axis(mode[1], mode[2] * angle)
+        return rot_any_axis(mode[1], angle)
+
+    def _motion_step(self, disp):
+        mode = _axis_spec(self.axis)
+        if mode[0] == "principal":
+            return jnp.zeros(3).at[mode[1]].set(mode[2] * disp)
+        return disp * jnp.asarray(mode[1])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,10 +108,23 @@ class Chain:
 
     joints: Tuple[Joint, ...]
     ee_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    ee_rot: Optional[Tuple[float, ...]] = None  # row-major 9-tuple or None
 
     @property
     def num_dof(self) -> int:
         return sum(1 for j in self.joints if j.kind != "fixed")
+
+    def _advance(self, joint: Joint, rot, pos, q, qi):
+        pos = pos + rot @ jnp.asarray(joint.offset)
+        if joint.origin_rot is not None:
+            rot = rot @ jnp.asarray(joint.origin_rot).reshape(3, 3)
+        if joint.kind == "revolute":
+            rot = rot @ joint._motion_rot(q[qi])
+            qi += 1
+        elif joint.kind == "prismatic":
+            pos = pos + rot @ joint._motion_step(q[qi])
+            qi += 1
+        return rot, pos, qi
 
     def forward(self, q: Array, base_rot=None, base_pos=None):
         """FK: returns (ee position [3], ee rotation [3,3]) in base frame."""
@@ -60,15 +132,10 @@ class Chain:
         pos = jnp.zeros(3) if base_pos is None else base_pos
         qi = 0
         for joint in self.joints:
-            pos = pos + rot @ jnp.asarray(joint.offset)
-            if joint.kind == "revolute":
-                rot = rot @ rot_axis(_AXES[joint.axis], q[qi])
-                qi += 1
-            elif joint.kind == "prismatic":
-                step = jnp.zeros(3).at[_AXES[joint.axis]].set(q[qi])
-                pos = pos + rot @ step
-                qi += 1
+            rot, pos, qi = self._advance(joint, rot, pos, q, qi)
         pos = pos + rot @ jnp.asarray(self.ee_offset)
+        if self.ee_rot is not None:
+            rot = rot @ jnp.asarray(self.ee_rot).reshape(3, 3)
         return pos, rot
 
     def ee_position(self, q: Array, base_rot=None, base_pos=None) -> Array:
@@ -85,18 +152,17 @@ class Chain:
         rots, poss = [rot], [pos]
         qi = 0
         for joint in self.joints:
-            pos = pos + rot @ jnp.asarray(joint.offset)
-            if joint.kind == "revolute":
-                rot = rot @ rot_axis(_AXES[joint.axis], q[qi])
-                qi += 1
-            elif joint.kind == "prismatic":
-                step = jnp.zeros(3).at[_AXES[joint.axis]].set(q[qi])
-                pos = pos + rot @ step
-                qi += 1
+            rot, pos, qi = self._advance(joint, rot, pos, q, qi)
             rots.append(rot)
             poss.append(pos)
-        rots.append(rot)
-        poss.append(pos + rot @ jnp.asarray(self.ee_offset))
+        ee_pos = pos + rot @ jnp.asarray(self.ee_offset)
+        ee_rot = (
+            rot @ jnp.asarray(self.ee_rot).reshape(3, 3)
+            if self.ee_rot is not None
+            else rot
+        )
+        rots.append(ee_rot)
+        poss.append(ee_pos)
         return jnp.stack(rots), jnp.stack(poss)
 
     def position_jacobian(self, q: Array) -> Array:

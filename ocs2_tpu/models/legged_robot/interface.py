@@ -93,9 +93,14 @@ R_MAT = _input_cost_weight()
 def make_problem(
     friction_cone: str = "soft",  # "soft" (relaxed barrier) | "hard" (AL)
     project_foot_constraint: bool = True,
+    model_type: str = "srbd",  # "srbd" | "full" (CentroidalModelType)
 ) -> OptimalControlProblem:
+    if model_type == "full":
+        from .centroidal import dynamics_full as _dynamics
+    else:
+        _dynamics = model.dynamics
     problem = OptimalControlProblem(
-        dynamics=model.dynamics,
+        dynamics=_dynamics,
         cost_terms=(quadratic_cost(np.diag(Q_DIAG), R_MAT),),
         final_cost_terms=(quadratic_final_cost(10.0 * np.diag(Q_DIAG[:24])),),
         equality_terms=(con.foot_constraint, con.swing_normal_velocity)

@@ -189,6 +189,75 @@ def make_problem(
     return base
 
 
+def make_urdf_arm_problem(
+    loaded,
+    velocity_weight: float = 0.5,
+) -> OptimalControlProblem:
+    """Kinematic MPC for a fixed-base URDF-loaded arm (the reference's
+    Default-arm manipulatorModelType 0, MobileManipulatorInterface.cpp with
+    config/{franka,kinova,ridgeback_ur5,...}/task.info: URDF -> model, EE
+    pose cost, joint position/velocity limits).
+
+    State x = q [dof], input u = dq [dof]; EE pose tracked to
+    params['ee_target'] (+ optional 'ee_target_rot') through the chain's FK.
+    `loaded` is a models.urdf.LoadedChain.
+    """
+    chain = loaded.chain
+    dof = chain.num_dof
+    lower = np.asarray(loaded.lower, np.float32)
+    upper = np.asarray(loaded.upper, np.float32)
+    vmax = np.asarray(
+        np.minimum(loaded.velocity, 1e3), np.float32
+    )  # cap inf velocity limits
+
+    def dyn(t, x, u, p):
+        del t, p
+        return u
+
+    def ee_cost(t, x, u, p):
+        del t, u
+        pos, rot = chain.forward(x)
+        c = 50.0 * jnp.sum((pos - p["ee_target"]) ** 2)
+        if isinstance(p, dict) and "ee_target_rot" in p:
+            c = c + 30.0 * jnp.sum(rotation_error(rot, p["ee_target_rot"]) ** 2)
+        return c
+
+    def ee_final(t, x, p):
+        pos, rot = chain.forward(x)
+        c = 50.0 * jnp.sum((pos - p["ee_target"]) ** 2)
+        if isinstance(p, dict) and "ee_target_rot" in p:
+            c = c + 30.0 * jnp.sum(rotation_error(rot, p["ee_target_rot"]) ** 2)
+        return c
+
+    def in_cost(t, x, u, p):
+        del t, x, p
+        return velocity_weight * jnp.sum((u / vmax) ** 2)
+
+    def q_limits(t, x, p):
+        del t, p
+        return jnp.concatenate([x - lower, upper - x])
+
+    def dq_limits(t, x, u, p):
+        del t, x, p
+        return jnp.concatenate([u + vmax, vmax - u])
+
+    barrier = pen.relaxed_barrier(mu=1e-2, delta=1e-3)
+    finite_q = np.all(np.isfinite(lower)) and np.all(np.isfinite(upper))
+    state_soft = (
+        (soft_constraint(q_limits, barrier, with_input=False),)
+        if finite_q
+        else ()
+    )
+    return OptimalControlProblem(
+        dynamics=dyn,
+        cost_terms=(ee_cost, in_cost, soft_constraint(dq_limits, barrier)),
+        state_cost_terms=state_soft,
+        final_cost_terms=(ee_final,) + state_soft,
+        nx=dof,
+        nu=dof,
+    )
+
+
 def make_params(ee_target=(1.0, 0.5, 0.8), ee_target_rot=None):
     p = {"ee_target": jnp.asarray(ee_target, jnp.float32)}
     if ee_target_rot is not None:

@@ -61,9 +61,13 @@ class LqrCoeffs(NamedTuple):
 
 
 def _solve_psd(M: Array, rhs: Array) -> Array:
-    """Solve M z = rhs for symmetric positive-definite M via Cholesky."""
-    chol = jax.scipy.linalg.cho_factor(M, lower=True)
-    return jax.scipy.linalg.cho_solve(chol, rhs)
+    """Solve M z = rhs for symmetric positive-definite M.  Small systems
+    (nu <= 16, every robot in the zoo) take the unrolled-Cholesky fusable
+    path — the batched Cholesky custom-call costs ~35% of a whole batched
+    DDP solve at [4096, 3, 3] (ops/smallmat.py)."""
+    from .smallmat import solve_psd
+
+    return solve_psd(M, rhs)
 
 
 def convexify(
@@ -123,7 +127,19 @@ def convexify(
 
 def lqr_backward(coeffs: LqrCoeffs, reg: Array | float = 0.0) -> LqrSolution:
     """Sequential Riccati backward pass (reference DiscreteTimeRiccatiEquations
-    recursion), one fused lax.scan."""
+    recursion), one fused lax.scan.
+
+    Under ``vmap`` this dispatches to a BATCH-MINOR implementation
+    (``_lqr_backward_batched``): per-scenario matrices are tiny (nx, nu <=
+    ~24), so in the standard [B, n, n] layout the TPU's (8, 128) tiles are
+    ~95% padding.  The batch-minor form stores every matrix entry as a [B]
+    lane vector, turning each Riccati step into fully-dense VPU work —
+    measured ~2x end-to-end on the 4096-scenario ballbot DDP bench.
+    """
+    return _lqr_backward_cv(coeffs, jnp.asarray(reg))
+
+
+def _lqr_backward_single(coeffs: LqrCoeffs, reg: Array) -> LqrSolution:
     nu = coeffs.B.shape[-1]
     eye_u = jnp.eye(nu, dtype=coeffs.B.dtype)
 
@@ -168,6 +184,168 @@ def lqr_backward(coeffs: LqrCoeffs, reg: Array | float = 0.0) -> LqrSolution:
         dv1=jnp.sum(dv1s),
         dv2=jnp.sum(dv2s),
     )
+
+
+# -- batch-minor batched backward pass (vmap rule) ---------------------------
+#
+# Entry layout: matrices [n, m, B] / vectors [n, B] — the batch dim rides the
+# TPU's 128-lane axis, matrix dims are unrolled loop indices.  Matmuls become
+# broadcast-multiply-reduce fusions with full lane utilization instead of
+# (8, 128)-tiled dots over 10x10 operands.
+
+
+def _bm_mm(a, b):
+    """[i, k, B] @ [k, j, B] -> [i, j, B]."""
+    return jnp.sum(a[:, :, None, :] * b[None, :, :, :], axis=1)
+
+
+def _bm_mTm(a, b):
+    """[k, i, B]' @ [k, j, B] -> [i, j, B]."""
+    return jnp.sum(a[:, :, None, :] * b[:, None, :, :], axis=0)
+
+
+def _bm_mv(a, v):
+    """[i, k, B] @ [k, B] -> [i, B]."""
+    return jnp.sum(a * v[None, :, :], axis=1)
+
+
+def _bm_mTv(a, v):
+    """[k, i, B]' @ [k, B] -> [i, B]."""
+    return jnp.sum(a * v[:, None, :], axis=0)
+
+
+def _bm_cholesky(M, eps: float = 1e-12):
+    """Entry-form Cholesky of [n, n, B]: L[i][j] are [B] lane vectors."""
+    n = M.shape[0]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = M[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, eps))
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = M[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    return L
+
+
+def _bm_solve_psd(M, rhs):
+    """Solve M z = rhs, M [n, n, B] PD, rhs [n, m, B]."""
+    n, m = rhs.shape[0], rhs.shape[1]
+    L = _bm_cholesky(M)
+    ys = []
+    for i in range(n):
+        s = rhs[i]
+        for k in range(i):
+            s = s - L[i][k] * ys[k]
+        ys.append(s / L[i][i])
+    zs = [None] * n
+    for i in reversed(range(n)):
+        s = ys[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * zs[k]
+        zs[i] = s / L[i][i]
+    return jnp.stack(zs, axis=0)
+
+
+def _bm_sym(m):
+    return 0.5 * (m + m.transpose(1, 0, 2))
+
+
+def _lqr_backward_batched(coeffs: LqrCoeffs, reg: Array) -> LqrSolution:
+    """Batch-minor backward pass: coeffs leaves carry a LEADING batch dim
+    [B, N, ...]; reg is [B] (or scalar).  Same recursion as
+    _lqr_backward_single, evaluated in entry form."""
+    B = coeffs.A.shape[0]
+    reg = jnp.broadcast_to(jnp.asarray(reg), (B,))
+
+    # [B, N, n, m] -> [N, n, m, B] (time-leading for scan, batch-minor).
+    A = jnp.transpose(coeffs.A, (1, 2, 3, 0))
+    Bm = jnp.transpose(coeffs.B, (1, 2, 3, 0))
+    bv = jnp.transpose(coeffs.b, (1, 2, 0))
+    Qxx = jnp.transpose(coeffs.Qxx, (1, 2, 3, 0))
+    qx = jnp.transpose(coeffs.qx, (1, 2, 0))
+    Quu = jnp.transpose(coeffs.Quu, (1, 2, 3, 0))
+    qu = jnp.transpose(coeffs.qu, (1, 2, 0))
+    Qux = jnp.transpose(coeffs.Qux, (1, 2, 3, 0))
+    Qf = jnp.transpose(coeffs.Qf, (1, 2, 0))
+    qf = jnp.transpose(coeffs.qf, (1, 0))
+    nu = Bm.shape[2]
+
+    def step(carry, stage):
+        s_mat, s_vec = carry  # [nx, nx, B], [nx, B]
+        a, b_mat, b, qxx, qx_, quu, qu_, qux = stage
+        sv = s_vec + _bm_mv(s_mat, b)
+        qu_hat = qu_ + _bm_mTv(b_mat, sv)
+        qx_hat = qx_ + _bm_mTv(a, sv)
+        sB = _bm_mm(s_mat, b_mat)
+        sA = _bm_mm(s_mat, a)
+        quu_hat = quu + _bm_mTm(b_mat, sB)
+        # + reg * I on the diagonal (reg is [B], lanes broadcast).
+        quu_hat = quu_hat + reg * jnp.eye(nu, dtype=quu.dtype)[:, :, None]
+        qux_hat = qux + _bm_mTm(b_mat, sA)
+        qxx_hat = qxx + _bm_mTm(a, sA)
+        kk = -_bm_solve_psd(quu_hat, qux_hat)  # [nu, nx, B]
+        kf = -_bm_solve_psd(quu_hat, qu_hat[:, None, :])[:, 0, :]  # [nu, B]
+        quuk = _bm_mm(quu_hat, kk)
+        s_next = _bm_sym(
+            qxx_hat + _bm_mTm(kk, quuk) + _bm_mTm(kk, qux_hat)
+            + _bm_mTm(qux_hat, kk)
+        )
+        quukf = _bm_mv(quu_hat, kf)
+        sv_next = (
+            qx_hat + _bm_mTv(kk, quukf) + _bm_mTv(kk, qu_hat)
+            + _bm_mTv(qux_hat, kf)
+        )
+        dv1 = jnp.sum(kf * qu_hat, axis=0)  # [B]
+        dv2 = 0.5 * jnp.sum(kf * quukf, axis=0)
+        return (s_next, sv_next), (kk, kf, s_next, sv_next, dv1, dv2)
+
+    _, (ks, kffs, s_mats, s_vecs, dv1s, dv2s) = jax.lax.scan(
+        step, (Qf, qf), (A, Bm, bv, Qxx, qx, Quu, qu, Qux), reverse=True
+    )
+    # Back to standard [B, N, ...] layout.
+    gains = jnp.transpose(ks, (3, 0, 1, 2))
+    kff = jnp.transpose(kffs, (2, 0, 1))
+    value_S = jnp.concatenate(
+        [jnp.transpose(s_mats, (3, 0, 1, 2)), coeffs.Qf[:, None]], axis=1
+    )
+    value_s = jnp.concatenate(
+        [jnp.transpose(s_vecs, (2, 0, 1)), coeffs.qf[:, None]], axis=1
+    )
+    return LqrSolution(
+        gains=gains,
+        kff=kff,
+        value_S=value_S,
+        value_s=value_s,
+        dv1=jnp.sum(dv1s, axis=0),
+        dv2=jnp.sum(dv2s, axis=0),
+    )
+
+
+from jax import custom_batching as _custom_batching  # noqa: E402
+
+
+@_custom_batching.custom_vmap
+def _lqr_backward_cv(coeffs: LqrCoeffs, reg: Array) -> LqrSolution:
+    return _lqr_backward_single(coeffs, reg)
+
+
+@_lqr_backward_cv.def_vmap
+def _lqr_backward_vmap_rule(axis_size, in_batched, coeffs, reg):
+    cb, rb = in_batched
+
+    def bcast(x, is_b):
+        return x if is_b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+    coeffs = jax.tree.map(bcast, coeffs, cb)
+    reg = reg if rb else jnp.broadcast_to(reg, (axis_size,) + jnp.shape(reg))
+    out = _lqr_backward_batched(coeffs, reg)
+    return out, jax.tree.map(lambda _: True, out)
 
 
 # ---------------------------------------------------------------------------
