@@ -60,7 +60,10 @@ DEFAULT_JOINTS = np.array(
     ],
     np.float32,
 ).reshape(-1)
-STAND_HEIGHT = 0.57
+# Kinematically consistent with DEFAULT_JOINTS: (thigh + shank)*cos(0.4) so
+# the default stance puts the feet exactly on the ground plane (terrain
+# constraints depend on this; a mismatch makes every stance foot hover).
+STAND_HEIGHT = float((THIGH_LENGTH + SHANK_LENGTH) * np.cos(0.4))
 
 
 def leg_side_sign(leg: int) -> float:

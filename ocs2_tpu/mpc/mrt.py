@@ -38,24 +38,84 @@ class SystemObservation:
         self.mode = mode
 
 
+class RolloutBackend:
+    """Pluggable plant simulator for the MRT side — the seam the reference
+    proves with RaisimRollout (ocs2_raisim_core/RaisimRollout.h:46-165:
+    RolloutBase is swapped for a contact-physics engine, with state
+    conversion callbacks).  Closed-loop results then see MODEL MISMATCH —
+    the entire point of testing an MPC runtime.
+
+    Implement `step(t, x, u, dt, params) -> x_next` (jit-compatible)."""
+
+    def step(self, t, x, u, dt, params):
+        raise NotImplementedError
+
+
+class FlowMapRollout(RolloutBackend):
+    """Default backend: integrate the problem's own flow map (the
+    reference's TimeTriggeredRollout inside MRT_BASE::rolloutPolicy)."""
+
+    def __init__(self, problem: OptimalControlProblem, method="rk4", substeps=2):
+        def _step(t, x, u, dt, params):
+            flow = discretize(
+                lambda tt, xx, uu: problem.dynamics(tt, xx, uu, params),
+                method, substeps,
+            )
+            return flow(t, x, u, dt)
+
+        self._step = jax.jit(_step)
+
+    def step(self, t, x, u, dt, params):
+        return self._step(t, x, u, dt, params)
+
+
+class ExternalSimRollout(RolloutBackend):
+    """Backend wrapping ANY external simulator dynamics — a different flow
+    map (model mismatch), a contact model, or a learned/physics simulator —
+    with optional state conversions in/out of the MPC state space
+    (reference RaisimRollout's stateToRaisimGenCoordGenVel /
+    raisimGenCoordGenVelToState callbacks)."""
+
+    def __init__(
+        self,
+        sim_dynamics: Callable,  # (t, x_sim, u, params) -> dx_sim
+        method: str = "rk4",
+        substeps: int = 2,
+        state_to_sim: Optional[Callable] = None,
+        sim_to_state: Optional[Callable] = None,
+    ):
+        to_sim = state_to_sim or (lambda x: x)
+        to_state = sim_to_state or (lambda x: x)
+
+        def _step(t, x, u, dt, params):
+            xs = to_sim(x)
+            flow = discretize(
+                lambda tt, xx, uu: sim_dynamics(tt, xx, uu, params),
+                method, substeps,
+            )
+            return to_state(flow(t, xs, u, dt))
+
+        self._step = jax.jit(_step)
+
+    def step(self, t, x, u, dt, params):
+        return self._step(t, x, u, dt, params)
+
+
 class Mrt:
     """Policy consumer with buffer-swap semantics (MRT_BASE.h:126-148)."""
 
-    def __init__(self, problem: OptimalControlProblem):
+    def __init__(
+        self,
+        problem: OptimalControlProblem,
+        rollout_backend: Optional[RolloutBackend] = None,
+    ):
         self.problem = problem
+        self.rollout_backend = rollout_backend or FlowMapRollout(problem)
         self._active: Optional[MpcPolicy] = None
         self._buffer: Optional[MpcPolicy] = None
         self._eval = jax.jit(
             lambda ctrl, t, x: ctrl(t, x)
         )
-
-        def _rollout_step(t, x, u, dt, params):
-            flow = discretize(
-                lambda tt, xx, uu: problem.dynamics(tt, xx, uu, params), "rk4", 2
-            )
-            return flow(t, x, u, dt)
-
-        self._rollout_step = jax.jit(_rollout_step)
 
     # -- policy transport ---------------------------------------------------
     def move_to_buffer(self, policy: MpcPolicy) -> None:
@@ -93,7 +153,7 @@ class Mrt:
         for i in range(substeps):
             ti = t + i * h
             u = self.evaluate_policy(ti, x)
-            x = self._rollout_step(
+            x = self.rollout_backend.step(
                 jnp.asarray(ti, jnp.float32), x, u, jnp.asarray(h, jnp.float32),
                 params,
             )
