@@ -91,15 +91,40 @@ def split_state(defn: LoopshapingDefinition, x_aug: Array):
 
 
 def wrap_problem(
-    problem: OptimalControlProblem, defn: LoopshapingDefinition
+    problem: OptimalControlProblem,
+    defn: LoopshapingDefinition,
+    pattern: str = "output",  # "output" | "eliminate"
 ) -> OptimalControlProblem:
     """Loopshaping augmentation as a problem-to-problem transform (replacing
     the reference's LoopshapingDynamics/Cost/Constraint wrapper hierarchy).
 
     Returns a problem with nx + nf states and nv inputs whose solutions,
-    restricted to the plant block, solve the shaped control problem."""
+    restricted to the plant block, solve the shaped control problem.
+
+    pattern="output": u = C xi + D v (reference outputPattern) — original
+    terms keep their state-input classification.
+    pattern="eliminate" (reference eliminatePattern, requires D = 0): the
+    plant input is a pure function of the FILTER STATE, u = C xi, so every
+    original state-input cost/constraint becomes a STATE-ONLY term of the
+    augmented problem — crucially this keeps the projection/AL machinery
+    rank-correct (a "state-input" constraint with an all-zero v-Jacobian
+    would break the QR null-space projection)."""
     nx, nf = problem.nx, defn.num_filter_states
     nv = defn.num_filtered_inputs
+    if pattern not in ("output", "eliminate"):
+        raise ValueError(f"unknown loopshaping pattern {pattern!r}")
+    eliminate = pattern == "eliminate"
+    if eliminate:
+        import numpy as _np
+
+        assert _np.allclose(_np.asarray(defn.D), 0.0), (
+            "eliminate pattern requires a strictly proper filter (D = 0)"
+        )
+        assert defn.R_v is not None, (
+            "eliminate pattern needs R_v: with every original cost now "
+            "state-only, the shaping penalty is the ONLY input cost "
+            "(otherwise Quu is singular)"
+        )
 
     def split(t, xa, v, p):
         x, xi = xa[:nx], xa[nx:]
@@ -140,12 +165,55 @@ def wrap_problem(
 
         extra_cost = (shaping_cost,)
 
+    def as_state_term(term):
+        """Eliminate pattern: a state-input term of the original problem is
+        a pure STATE term of the augmented one, u = C xi."""
+
+        def fn(t, xa, p):
+            x, xi = xa[:nx], xa[nx:]
+            return term(t, x, defn.C @ xi, p)
+
+        return fn
+
     jump_map = None
     if problem.jump_map is not None:
 
         def jump_map(t, xa, p):
             x_next = problem.apply_jump(t, xa[:nx], p)
             return jnp.concatenate([x_next, xa[nx:]])
+
+    if eliminate:
+        return dataclasses.replace(
+            problem,
+            dynamics=dynamics,
+            nx=nx + nf,
+            nu=nv,
+            cost_terms=extra_cost,
+            state_cost_terms=tuple(
+                as_state_term(c) for c in problem.cost_terms
+            )
+            + tuple(wrap_state_term(c) for c in problem.state_cost_terms),
+            pre_jump_cost_terms=tuple(
+                wrap_state_term(c) for c in problem.pre_jump_cost_terms
+            ),
+            final_cost_terms=tuple(
+                wrap_state_term(c) for c in problem.final_cost_terms
+            ),
+            equality_terms=(),
+            inequality_terms=(),
+            state_equality_terms=tuple(
+                as_state_term(g) for g in problem.equality_terms
+            )
+            + tuple(wrap_state_term(g) for g in problem.state_equality_terms),
+            state_inequality_terms=tuple(
+                as_state_term(g) for g in problem.inequality_terms
+            )
+            + tuple(wrap_state_term(g) for g in problem.state_inequality_terms),
+            final_equality_terms=tuple(
+                wrap_state_term(g) for g in problem.final_equality_terms
+            ),
+            jump_map=jump_map,
+        )
 
     return dataclasses.replace(
         problem,

@@ -61,13 +61,15 @@ class LqrCoeffs(NamedTuple):
 
 
 def _solve_psd(M: Array, rhs: Array) -> Array:
-    """Solve M z = rhs for symmetric positive-definite M.  Small systems
-    (nu <= 16, every robot in the zoo) take the unrolled-Cholesky fusable
-    path — the batched Cholesky custom-call costs ~35% of a whole batched
-    DDP solve at [4096, 3, 3] (ops/smallmat.py)."""
-    from .smallmat import solve_psd
+    """Solve M z = rhs for symmetric positive-definite M via Cholesky.
 
-    return solve_psd(M, rhs)
+    This is the SINGLE-instance path: the custom-call is right here (an
+    unrolled scalar Cholesky has no lanes to fill and measured 3x slower on
+    the N=100 flagship solve).  Batched solves never reach this code — the
+    custom_vmap rule on lqr_backward dispatches to the batch-minor kernel
+    whose entry-form Cholesky (_bm_cholesky) fills the 128-lane axis."""
+    chol = jax.scipy.linalg.cho_factor(M, lower=True)
+    return jax.scipy.linalg.cho_solve(chol, rhs)
 
 
 def convexify(
@@ -335,6 +337,12 @@ def _lqr_backward_cv(coeffs: LqrCoeffs, reg: Array) -> LqrSolution:
     return _lqr_backward_single(coeffs, reg)
 
 
+# Below this batch size the [B] lane vectors underfill the VPU and the
+# entry-form unrolling loses to the stock custom-call path (measured: legged
+# b256/nu=12 regressed 3x batch-minor, ballbot b4096/nu=3 gained 3x).
+_BATCH_MINOR_MIN_SIZE = 1024
+
+
 @_lqr_backward_cv.def_vmap
 def _lqr_backward_vmap_rule(axis_size, in_batched, coeffs, reg):
     cb, rb = in_batched
@@ -344,7 +352,10 @@ def _lqr_backward_vmap_rule(axis_size, in_batched, coeffs, reg):
 
     coeffs = jax.tree.map(bcast, coeffs, cb)
     reg = reg if rb else jnp.broadcast_to(reg, (axis_size,) + jnp.shape(reg))
-    out = _lqr_backward_batched(coeffs, reg)
+    if axis_size >= _BATCH_MINOR_MIN_SIZE:
+        out = _lqr_backward_batched(coeffs, reg)
+    else:
+        out = jax.vmap(_lqr_backward_single)(coeffs, reg)
     return out, jax.tree.map(lambda _: True, out)
 
 

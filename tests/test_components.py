@@ -88,6 +88,47 @@ class TestLoopshaping:
         assert defn.A.shape == (3, 3)
         assert defn.num_filtered_inputs == 3
 
+    def test_eliminate_pattern_matches_output_pattern(self):
+        """eliminatePattern (D=0: u is a pure filter-state function, original
+        state-input terms become state-only terms) solves the same shaped
+        problem as outputPattern — same plant trajectory, but constraints and
+        costs land in the state-only slots (reference
+        LoopshapingDefinition.h:44 isEliminateInputs path)."""
+        problem = double_integrator.make_problem()
+        params = double_integrator.make_params()
+        nu = problem.nu
+        defn = LoopshapingDefinition(
+            A=-5.0 * jnp.eye(nu),
+            B=5.0 * jnp.eye(nu),
+            C=jnp.eye(nu),
+            D=jnp.zeros((nu, nu)),
+            R_v=0.01 * jnp.eye(nu),
+        )
+        aug_out = wrap_problem(problem, defn, pattern="output")
+        aug_eli = wrap_problem(problem, defn, pattern="eliminate")
+        # Classification: the original running cost moved to the state slot.
+        assert len(aug_eli.equality_terms) == 0
+        assert len(aug_eli.state_cost_terms) == len(problem.cost_terms)
+        grid = uniform_grid(0.0, 2.0, 40)
+        x0_aug = jnp.array([1.0, 0.0, 0.0])
+        s_out = jax.jit(lambda x: sqp.solve(aug_out, grid, x, params))(x0_aug)
+        s_eli = jax.jit(lambda x: sqp.solve(aug_eli, grid, x, params))(x0_aug)
+        assert np.allclose(
+            np.asarray(s_out.xs), np.asarray(s_eli.xs), atol=2e-2
+        ), np.abs(np.asarray(s_out.xs) - np.asarray(s_eli.xs)).max()
+
+    def test_eliminate_pattern_requires_proper_filter(self):
+        import pytest as _pytest
+
+        problem = double_integrator.make_problem()
+        nu = problem.nu
+        improper = LoopshapingDefinition(
+            A=-5.0 * jnp.eye(nu), B=jnp.eye(nu), C=jnp.eye(nu),
+            D=jnp.eye(nu), R_v=jnp.eye(nu),
+        )
+        with _pytest.raises(AssertionError):
+            wrap_problem(problem, improper, pattern="eliminate")
+
 
 class TestConfig:
     INFO = """

@@ -90,3 +90,55 @@ def test_trapezoidal():
     ts = jnp.linspace(0.0, 1.0, 101)
     vals = ts**2
     assert np.allclose(trapezoidal(vals, ts), 1.0 / 3.0, atol=1e-3)
+
+
+class TestOde45:
+    """Adaptive Dormand-Prince 5(4) (reference IntegratorType::ODE45,
+    RungeKuttaDormandPrince5.h)."""
+
+    def test_exponential_decay_high_accuracy(self):
+        from ocs2_tpu.core.integrate import integrate_adaptive
+
+        f = lambda t, x, u: -2.0 * x  # noqa: E731
+        x0 = jnp.array([1.0])
+        xf = jax.jit(
+            lambda x: integrate_adaptive(f, 0.0, x, jnp.zeros(1), 1.0)
+        )(x0)
+        assert abs(float(xf[0]) - np.exp(-2.0)) < 1e-5
+
+    def test_stiffish_oscillator_beats_rk4_per_interval(self):
+        """One adaptive interval matches a fine fixed-step reference where a
+        single coarse RK4 step has visible error."""
+        from ocs2_tpu.core.integrate import discretize, integrate_adaptive
+
+        omega = 12.0
+
+        def f(t, x, u):
+            return jnp.array([x[1], -omega * omega * x[0]]) + u
+
+        x0 = jnp.array([1.0, 0.0])
+        u = jnp.zeros(2)
+        dt = 0.5
+        exact = jnp.array(
+            [np.cos(omega * dt), -omega * np.sin(omega * dt)]
+        )
+        x_ad = integrate_adaptive(f, 0.0, x0, u, dt, rtol=1e-6, atol=1e-9)
+        x_rk4 = discretize(f, "rk4", 1)(0.0, x0, u, dt)
+        err_ad = float(jnp.max(jnp.abs(x_ad - exact)))
+        err_rk4 = float(jnp.max(jnp.abs(x_rk4 - exact)))
+        assert err_ad < 2e-2, err_ad
+        assert err_ad < err_rk4 / 50.0, (err_ad, err_rk4)
+
+    def test_discretize_dispatch_and_jacfwd(self):
+        """method='ode45' plugs into the discretize seam and is
+        differentiable (usable in rollouts and sensitivity checks)."""
+        from ocs2_tpu.core.integrate import discretize
+
+        f = lambda t, x, u: -x + u  # noqa: E731
+        step = discretize(f, "ode45")
+        x0, u = jnp.array([1.0]), jnp.array([0.5])
+        xf = step(0.0, x0, u, 0.7)
+        expect = 0.5 + (1.0 - 0.5) * np.exp(-0.7)
+        assert abs(float(xf[0]) - expect) < 1e-5
+        jac = jax.jacfwd(lambda x: step(0.0, x, u, 0.7))(x0)
+        assert abs(float(jac[0, 0]) - np.exp(-0.7)) < 1e-3
