@@ -148,3 +148,97 @@ class GaitSchedule:
         return ModeSchedule.create(
             kept_events, mode_seq, capacity=self.capacity
         )
+
+
+def time_until_next_touchdown(ms: ModeSchedule, t: float, leg: int) -> float:
+    """Time from t until the leg's next planned swing->contact transition
+    (+inf when none inside the schedule) — reference SingleLegLogic /
+    GaitAdaptation::advanceSwingEvents."""
+    events = np.asarray(ms.event_times, np.float64)
+    modes = np.asarray(ms.mode_sequence)
+    k = int(np.searchsorted(events, t, side="right"))
+    in_contact = bool((int(modes[k]) >> leg) & 1)
+    for j in range(k, min(len(events), int(ms.num_events))):
+        nxt = bool((int(modes[j + 1]) >> leg) & 1)
+        if not in_contact and nxt:
+            return float(events[j] - t)
+        in_contact = nxt
+    return np.inf
+
+
+def apply_early_touchdown(ms: ModeSchedule, t: float, early_legs) -> ModeSchedule:
+    """Force the contact bit ON for the flagged legs from t until each leg's
+    next planned touchdown (the reference's earlyTouchDownAdaptation:
+    'removes the first swing phase for all legs flagged with earlyTouchdown',
+    GaitAdaptation.h:63)."""
+    events = np.asarray(ms.event_times, np.float64)
+    modes = np.asarray(ms.mode_sequence, np.int64).copy()
+    k0 = int(np.searchsorted(events, t, side="right"))
+    n_ev = int(ms.num_events)
+    for leg in np.nonzero(np.asarray(early_legs))[0]:
+        in_contact_now = bool((int(modes[k0]) >> int(leg)) & 1)
+        if in_contact_now:
+            continue
+        j = k0
+        while j <= n_ev:
+            if (int(modes[j]) >> int(leg)) & 1:
+                break  # planned touchdown reached
+            modes[j] |= 1 << int(leg)
+            j += 1
+    return ModeSchedule(
+        event_times=np.asarray(ms.event_times),
+        mode_sequence=modes.astype(np.int32),
+        num_events=np.asarray(ms.num_events),
+    )
+
+
+@dataclasses.dataclass
+class GaitAdaptationSettings:
+    """Reference GaitAdaptationSettings (GaitAdaptation.h:15)."""
+
+    early_touchdown_window: float = 0.1
+
+
+class GaitAdaptation:
+    """Contact-measurement-driven gait adaptation (reference GaitAdaptation,
+    ocs2_switched_model_interface/logic/GaitAdaptation.h:19).
+
+    Strategy (the reference's implemented case): a leg planned to SWING but
+    MEASURED in contact within `early_touchdown_window` of its planned
+    touchdown is flagged early-contact — its remaining swing is removed from
+    the schedule, so the solver immediately treats it as a stance leg.  A
+    leg must have lifted off since its last stance before a new touchdown
+    can be recognized (hasLiftedSinceLastContact_)."""
+
+    def __init__(
+        self,
+        settings: GaitAdaptationSettings = GaitAdaptationSettings(),
+        num_legs: int = 4,
+    ):
+        self.settings = settings
+        self._lifted = [False] * num_legs
+
+    def advance(self, ms: ModeSchedule, measured_contacts, t: float) -> ModeSchedule:
+        """One tick: update liftoff tracking and return the (possibly)
+        adapted mode schedule."""
+        desired = contact_flags_static(int(ms.mode_at_time(np.float32(t))))
+        early = [False] * len(self._lifted)
+        for leg in range(len(self._lifted)):
+            planned_contact = desired[leg] > 0.5
+            measured = bool(measured_contacts[leg])
+            if not planned_contact and not measured:
+                self._lifted[leg] = True
+            if planned_contact and measured:
+                self._lifted[leg] = False
+            if (
+                not planned_contact
+                and measured
+                and self._lifted[leg]
+                and time_until_next_touchdown(ms, t, leg)
+                <= self.settings.early_touchdown_window
+            ):
+                early[leg] = True
+                self._lifted[leg] = False
+        if any(early):
+            return apply_early_touchdown(ms, t, early)
+        return ms

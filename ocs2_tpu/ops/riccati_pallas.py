@@ -30,7 +30,7 @@ Array = jax.Array
 
 # VMEM budget for choosing the batch-chunk width (bytes); the pipeline holds
 # ~2x the stage blocks + outputs + the (S, s) scratch.
-_VMEM_BUDGET = 8 * 1024 * 1024
+_VMEM_BUDGET = 4 * 1024 * 1024
 
 
 def _chunk_size(nx: int, nu: int, batch: int) -> int:
@@ -43,21 +43,46 @@ def _chunk_size(nx: int, nu: int, batch: int) -> int:
     return bc if batch % bc == 0 else batch
 
 
+# Matmul helpers as explicit contraction loops: a one-shot
+# jnp.sum(a[:, :, None, :] * b[None, ...]) materializes an [i, k, j, B]
+# intermediate on the Pallas VMEM stack (measured 29 MB > the 16 MB scoped
+# limit at nx=10, B=2048); accumulating over k keeps temps at [i, j, B].
+
+
 def _mm(a, b):
-    """[i, k, B] @ [k, j, B] -> [i, j, B] (broadcast-multiply-reduce)."""
-    return jnp.sum(a[:, :, None, :] * b[None, :, :, :], axis=1)
+    """[i, k, B] @ [k, j, B] -> [i, j, B]."""
+    kdim = a.shape[1]
+    acc = a[:, 0, None, :] * b[None, 0, :, :]
+    for k in range(1, kdim):
+        acc = acc + a[:, k, None, :] * b[None, k, :, :]
+    return acc
 
 
 def _mTm(a, b):
-    return jnp.sum(a[:, :, None, :] * b[:, None, :, :], axis=0)
+    """[k, i, B]' @ [k, j, B] -> [i, j, B]."""
+    kdim = a.shape[0]
+    acc = a[0, :, None, :] * b[0, None, :, :]
+    for k in range(1, kdim):
+        acc = acc + a[k, :, None, :] * b[k, None, :, :]
+    return acc
 
 
 def _mv(a, v):
-    return jnp.sum(a * v[None, :, :], axis=1)
+    """[i, k, B] @ [k, B] -> [i, B]."""
+    kdim = a.shape[1]
+    acc = a[:, 0, :] * v[None, 0, :]
+    for k in range(1, kdim):
+        acc = acc + a[:, k, :] * v[None, k, :]
+    return acc
 
 
 def _mTv(a, v):
-    return jnp.sum(a * v[:, None, :], axis=0)
+    """[k, i, B]' @ [k, B] -> [i, B]."""
+    kdim = a.shape[0]
+    acc = a[0] * v[0, None, :]
+    for k in range(1, kdim):
+        acc = acc + a[k] * v[k, None, :]
+    return acc
 
 
 def _chol_solve(M, rhs, eps=1e-12):
@@ -143,8 +168,8 @@ def _kernel(
     kff_ref[0] = kf
     vsm_ref[0] = s_next
     vsv_ref[0] = sv_next
-    dv1_ref[0] = jnp.sum(kf * qu_hat, axis=0)
-    dv2_ref[0] = 0.5 * jnp.sum(kf * quukf, axis=0)
+    dv1_ref[0, 0] = jnp.sum(kf * qu_hat, axis=0)
+    dv2_ref[0, 0] = 0.5 * jnp.sum(kf * quukf, axis=0)
     s_scr[:] = s_next
     sv_scr[:] = sv_next
 
@@ -187,8 +212,10 @@ def lqr_backward_pallas(
         jax.ShapeDtypeStruct((n, nu, batch), dt),      # kff
         jax.ShapeDtypeStruct((n, nx, nx, batch), dt),  # value_S (nodes 0..N-1)
         jax.ShapeDtypeStruct((n, nx, batch), dt),      # value_s
-        jax.ShapeDtypeStruct((n, batch), dt),          # dv1 per step
-        jax.ShapeDtypeStruct((n, batch), dt),          # dv2 per step
+        # dv per step as [n, 1, B]: TPU block shapes need the trailing two
+        # dims divisible by (8, 128) or equal to the array dims.
+        jax.ShapeDtypeStruct((n, 1, batch), dt),       # dv1 per step
+        jax.ShapeDtypeStruct((n, 1, batch), dt),       # dv2 per step
     )
     bs4 = lambda d1, d2: pl.BlockSpec(  # noqa: E731
         (1, d1, d2, bc), stage4, memory_space=pltpu.VMEM
@@ -222,10 +249,12 @@ def lqr_backward_pallas(
             bs4(nx, nx),
             bs3(nx),
             pl.BlockSpec(
-                (1, bc), lambda c, i: (n - 1 - i, c), memory_space=pltpu.VMEM
+                (1, 1, bc), lambda c, i: (n - 1 - i, 0, c),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, bc), lambda c, i: (n - 1 - i, c), memory_space=pltpu.VMEM
+                (1, 1, bc), lambda c, i: (n - 1 - i, 0, c),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=out_shapes,
@@ -250,6 +279,6 @@ def lqr_backward_pallas(
         kff=kff,
         value_S=value_S,
         value_s=value_s,
-        dv1=jnp.sum(dv1_t, axis=0),
-        dv2=jnp.sum(dv2_t, axis=0),
+        dv1=jnp.sum(dv1_t[:, 0, :], axis=0),
+        dv2=jnp.sum(dv2_t[:, 0, :], axis=0),
     )

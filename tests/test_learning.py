@@ -120,3 +120,94 @@ class TestEndToEnd:
         # LQ problem + linear policy: the learned policy can represent the MPC
         # exactly; incurred Hamiltonian should be small.
         assert float(metrics["incurred_hamiltonian"]) < 1.0
+
+
+class TestPolicyExport:
+    """Deployment export (the reference's ONNX path, mpcnet.py:135 +
+    MpcnetOnnxController.h): checkpoint round trip + the pure-numpy forward
+    matches the flax module for all three policy families."""
+
+    def _check(self, module, obs_dim, tmp_path):
+        import numpy as onp
+
+        from ocs2_tpu.learning.export import (
+            export_params,
+            load_checkpoint,
+            numpy_policy,
+            save_checkpoint,
+        )
+
+        key = jax.random.PRNGKey(0)
+        obs = jax.random.normal(key, (obs_dim,))
+        params = module.init(key, obs)
+        path = str(tmp_path / "policy.npz")
+        save_checkpoint(path, params)
+        weights = load_checkpoint(path)
+        fwd = numpy_policy(weights)
+        for i in range(3):
+            o = onp.asarray(
+                jax.random.normal(jax.random.PRNGKey(i + 1), (obs_dim,))
+            )
+            u_flax = onp.asarray(module.apply(params, jnp.asarray(o)))
+            u_np = fwd(o)
+            onp.testing.assert_allclose(u_np, u_flax, rtol=1e-5, atol=1e-6)
+
+    def test_linear(self, tmp_path):
+        from ocs2_tpu.learning.policy import LinearPolicy
+
+        self._check(LinearPolicy(action_dim=3), 10, tmp_path)
+
+    def test_mlp(self, tmp_path):
+        from ocs2_tpu.learning.policy import NonlinearPolicy
+
+        self._check(NonlinearPolicy(action_dim=3, hidden=(16, 8)), 10, tmp_path)
+
+    def test_mixture_of_experts(self, tmp_path):
+        from ocs2_tpu.learning.policy import MixtureOfNonlinearExpertsPolicy
+
+        self._check(
+            MixtureOfNonlinearExpertsPolicy(action_dim=2, num_experts=3),
+            8, tmp_path,
+        )
+
+
+class TestBallbotMpcnet:
+    def test_ballbot_smoke_training(self):
+        """MPC-Net on ballbot (mirrors the reference's ocs2_ballbot_mpcnet
+        robot package): a short run trains a nonlinear policy whose loss is
+        finite and that survives a closed-loop evaluation rollout."""
+        from ocs2_tpu.models import ballbot
+
+        problem = ballbot.make_problem()
+        params = ballbot.make_params()
+        settings = MpcnetSettings(
+            rollout_steps=4,
+            control_dt=0.05,
+            batch_size=16,
+            learning_rate=1e-3,
+            learning_iterations=60,
+            memory_capacity=256,
+            data_scenarios=4,
+            rounds=2,
+            mpc_horizon=0.8,
+            mpc_intervals=10,
+            solver_settings=sqp.SqpSettings(max_iterations=4),
+        )
+        net = Mpcnet(
+            problem, params,
+            NonlinearPolicy(action_dim=problem.nu, hidden=(16,)),
+            settings=settings,
+        )
+
+        def x0_sampler(key, n):
+            return 0.1 * jax.random.normal(key, (n, ballbot.NX))
+
+        net_params, losses = net.train(jax.random.PRNGKey(1), x0_sampler)
+        assert np.all(np.isfinite(np.asarray(losses)))
+        metrics = jax.jit(
+            lambda p: net.evaluate(
+                p, jnp.zeros(()), 0.05 * jnp.ones(ballbot.NX)
+            )
+        )(net_params)
+        assert float(metrics["survival_time"]) > 0.0
+        assert np.isfinite(float(metrics["incurred_hamiltonian"]))

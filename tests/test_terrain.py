@@ -156,3 +156,84 @@ class TestPerceptiveSolve:
         assert max(viol) < 0.03, max(viol)
         # The robot makes forward progress toward the step.
         assert float(sol.xs[-1, 6]) > 0.25, float(sol.xs[-1, 6])
+
+
+class TestGaitAdaptation:
+    """Reference GaitAdaptation (early touchdown removes the remaining
+    swing, GaitAdaptation.h:19,63)."""
+
+    def _trot_schedule(self):
+        from ocs2_tpu.models.legged_robot.gait import GaitSchedule, trot_gait
+
+        gs = GaitSchedule(trot_gait(0.7))
+        return gs.mode_schedule(0.0, 1.4)
+
+    def test_time_until_next_touchdown(self):
+        from ocs2_tpu.models.legged_robot.gait import (
+            contact_flags_static,
+            time_until_next_touchdown,
+        )
+
+        ms = self._trot_schedule()
+        t = 0.05
+        mode_now = int(ms.mode_at_time(np.float32(t)))
+        flags = contact_flags_static(mode_now)
+        swing_legs = [leg for leg in range(4) if flags[leg] < 0.5]
+        assert swing_legs
+        for leg in swing_legs:
+            dt_td = time_until_next_touchdown(ms, t, leg)
+            assert 0.0 < dt_td < 0.7, (leg, dt_td)
+
+    def test_early_touchdown_flips_contact(self):
+        from ocs2_tpu.models.legged_robot.gait import (
+            GaitAdaptation,
+            GaitAdaptationSettings,
+            contact_flags_static,
+            time_until_next_touchdown,
+        )
+
+        ms = self._trot_schedule()
+        adapt = GaitAdaptation(GaitAdaptationSettings(early_touchdown_window=0.1))
+        # Pick a swing leg and a time just inside the window before its
+        # planned touchdown.
+        mode0 = int(ms.mode_at_time(np.float32(0.05)))
+        leg = next(
+            lg for lg in range(4)
+            if contact_flags_static(mode0)[lg] < 0.5
+        )
+        td = time_until_next_touchdown(ms, 0.05, leg) + 0.05
+        # Leg must first be seen in swing (liftoff tracking).
+        measured = [False] * 4
+        adapt.advance(ms, measured, td - 0.2)
+        t_meas = td - 0.05  # inside the 0.1 s window
+        measured[leg] = True
+        ms2 = adapt.advance(ms, measured, t_meas)
+        # The leg is contact from t_meas on (remaining swing removed).
+        m_new = int(ms2.mode_at_time(np.float32(t_meas + 0.01)))
+        assert contact_flags_static(m_new)[leg] > 0.5
+        # The original schedule had it in swing there.
+        m_old = int(ms.mode_at_time(np.float32(t_meas + 0.01)))
+        assert contact_flags_static(m_old)[leg] < 0.5
+
+    def test_no_adaptation_outside_window(self):
+        from ocs2_tpu.models.legged_robot.gait import (
+            GaitAdaptation,
+            GaitAdaptationSettings,
+            contact_flags_static,
+            time_until_next_touchdown,
+        )
+
+        ms = self._trot_schedule()
+        adapt = GaitAdaptation(GaitAdaptationSettings(early_touchdown_window=0.05))
+        mode0 = int(ms.mode_at_time(np.float32(0.05)))
+        leg = next(
+            lg for lg in range(4)
+            if contact_flags_static(mode0)[lg] < 0.5
+        )
+        measured = [False] * 4
+        adapt.advance(ms, measured, 0.02)
+        measured[leg] = True
+        # Contact measured far before the planned touchdown: spurious, keep.
+        ms2 = adapt.advance(ms, measured, 0.05)
+        m_new = int(ms2.mode_at_time(np.float32(0.06)))
+        assert contact_flags_static(m_new)[leg] < 0.5
