@@ -214,7 +214,11 @@ def dummy_loop(
         if use_rollout:
             x = interface.mrt.rollout_policy(t, x, dt, params)
         else:
-            x = interface.mrt.policy.controller.x_nom  # pure tracking debug
+            # Pure tracking debug: teleport to the planner's nominal state at
+            # the next tick (interpolated — x_nom is a [N, nx] trajectory).
+            ctrl = interface.mrt.policy.controller
+            from ..core.interpolation import interpolate
+            x = interpolate(ctrl.times, ctrl.x_nom, jnp.asarray(t + dt, jnp.float32))
         t += dt
         times.append(t)
         states.append(x)

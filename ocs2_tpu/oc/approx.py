@@ -221,6 +221,67 @@ def node_params(params: Any, grid: TimeGrid, k):
     return params
 
 
+def approximate_lq_ct(
+    problem: OptimalControlProblem,
+    grid: TimeGrid,
+    xs: Array,  # [N+1, nx]
+    us: Array,  # [N, nu]
+    params: Any,
+):
+    """CONTINUOUS-TIME LQ data for the SLQ backward pass: per-node
+    linearization A = df/dx, B = df/du of the flow map (not its
+    discretization) and the running-cost RATE quadratization, plus per-
+    interval jump-map linearizations and pre-jump cost quadratics
+    (reference approximateIntermediateLQ feeding
+    ContinuousTimeRiccatiEquations.h:106).  Returns ops.riccati_ct.CtLqCoeffs
+    WITHOUT the terminal quadratic PSD projection — callers convexify.
+    """
+    from ..ops.riccati_ct import CtLqCoeffs
+
+    grid = grid.device()
+    n = grid.num_intervals
+    nu = problem.nu
+    us_ext = jnp.concatenate([us, us[-1:]], axis=0)  # value at node N
+
+    def node(k):
+        t = grid.times[k]
+        x = xs[k]
+        u = us_ext[k]
+        p = node_params(params, grid, k)
+        a = jax.jacfwd(lambda xx: problem.dynamics(t, xx, u, p))(x)
+        b = jax.jacfwd(lambda uu: problem.dynamics(t, x, uu, p))(u)
+        # Cost RATE quadratization: dt = 1, no jump contribution.
+        rate = quadratize_running_cost(problem, t, 1.0, x, u, p, 0.0)
+        return a, b, rate
+
+    a_n, b_n, rate = jax.vmap(node)(jnp.arange(n + 1))
+
+    def jump(k):
+        t = grid.times[k]
+        x = xs[k]
+        p_next = node_params(params, grid, k + 1)
+        aj = jax.jacfwd(lambda xx: problem.apply_jump(t, xx, p_next))(x)
+        # Pre-jump cost quadratic (state-only; dt = 0 kills the rate terms).
+        pj = quadratize_running_cost(
+            problem, t, 0.0, x, us_ext[k], node_params(params, grid, k), 1.0
+        )
+        return aj, pj.dfdxx, pj.dfdx
+
+    a_jump, q_jump, qv_jump = jax.vmap(jump)(jnp.arange(n))
+
+    tN = grid.times[n]
+    pN = node_params(params, grid, n)
+    cost_f = quadratize_final_cost(problem, tN, xs[n], pN, nu)
+
+    return CtLqCoeffs(
+        A=a_n, B=b_n,
+        Q=rate.dfdxx, q=rate.dfdx, R=rate.dfduu, r=rate.dfdu, P=rate.dfdux,
+        A_jump=a_jump, Q_jump=q_jump, q_jump=qv_jump,
+        Qf=cost_f.dfdxx, qf=cost_f.dfdx,
+        times=grid.times, is_jump=grid.is_jump,
+    )
+
+
 def approximate_lq(
     problem: OptimalControlProblem,
     grid: TimeGrid,

@@ -7,7 +7,7 @@ per-segment ODE integration loop; jump transitions are masked blends on the
 duplicated event nodes of the TimeGrid, so switched-system rollouts are a
 single fused compiled program.  State-triggered rollouts (guard-surface
 root-finding, StateTriggeredRollout.h:46) live in
-:mod:`ocs2_tpu.oc.state_rollout`.
+:mod:`ocs2_tpu.oc.hybrid_rollout`.
 """
 from __future__ import annotations
 

@@ -72,24 +72,14 @@ def _solve_psd(M: Array, rhs: Array) -> Array:
     return jax.scipy.linalg.cho_solve(chol, rhs)
 
 
-def convexify(
-    coeffs: LqrCoeffs, min_eig: float = 1e-5, method: str = "gershgorin"
-) -> LqrCoeffs:
-    """Make every stage's joint Hessian [[Qxx, Qux'], [Qux, Quu]] (and the
-    terminal Qf) positive semidefinite.
-
-    TPU-native analogue of the reference's Hessian correction strategies
-    (ocs2_ddp/include/ocs2_ddp/HessianCorrection.h:44 — DIAGONAL_SHIFT /
-    EIGENVALUE_MODIFICATION / GERSHGORIN_MODIFICATION): exact Hessians of
-    nonconvex terms can be indefinite, which breaks the Riccati Cholesky.
-
-    method="gershgorin" (default): shift by the Gershgorin lower bound —
-    pure elementwise/reduction work, ~10x faster than eigh on TPU where a
-    48x48 eigh per node dominates the whole SQP iteration.  A PSD matrix
-    with dominant diagonal gets zero shift, so the common (convex-cost)
-    case is untouched.  method="eigh": exact eigenvalue clamping.
-    """
-    nx = coeffs.Qxx.shape[-1]
+def convexify_stage_hessians(
+    Qxx: Array, Qux: Array, Quu: Array, Qf: Array,
+    min_eig: float = 1e-5, method: str = "gershgorin",
+):
+    """PSD-project batched stage Hessians [[Qxx, Qux'], [Qux, Quu]] [N, ...]
+    and the terminal Qf — shared by the discrete convexify() below and the
+    continuous-time SLQ quadratization (ops/riccati_ct.py)."""
+    nx = Qxx.shape[-1]
 
     if method == "gershgorin":
 
@@ -123,8 +113,31 @@ def convexify(
             wf, vf = jnp.linalg.eigh(0.5 * (qf + qf.T))
             return (vf * jnp.maximum(wf, min_eig)) @ vf.T
 
-    qxx, qux, quu = jax.vmap(stage)(coeffs.Qxx, coeffs.Qux, coeffs.Quu)
-    return coeffs._replace(Qxx=qxx, Qux=qux, Quu=quu, Qf=final(coeffs.Qf))
+    qxx, qux, quu = jax.vmap(stage)(Qxx, Qux, Quu)
+    return qxx, qux, quu, final(Qf)
+
+
+def convexify(
+    coeffs: LqrCoeffs, min_eig: float = 1e-5, method: str = "gershgorin"
+) -> LqrCoeffs:
+    """Make every stage's joint Hessian [[Qxx, Qux'], [Qux, Quu]] (and the
+    terminal Qf) positive semidefinite.
+
+    TPU-native analogue of the reference's Hessian correction strategies
+    (ocs2_ddp/include/ocs2_ddp/HessianCorrection.h:44 — DIAGONAL_SHIFT /
+    EIGENVALUE_MODIFICATION / GERSHGORIN_MODIFICATION): exact Hessians of
+    nonconvex terms can be indefinite, which breaks the Riccati Cholesky.
+
+    method="gershgorin" (default): shift by the Gershgorin lower bound —
+    pure elementwise/reduction work, ~10x faster than eigh on TPU where a
+    48x48 eigh per node dominates the whole SQP iteration.  A PSD matrix
+    with dominant diagonal gets zero shift, so the common (convex-cost)
+    case is untouched.  method="eigh": exact eigenvalue clamping.
+    """
+    qxx, qux, quu, qf = convexify_stage_hessians(
+        coeffs.Qxx, coeffs.Qux, coeffs.Quu, coeffs.Qf, min_eig, method
+    )
+    return coeffs._replace(Qxx=qxx, Qux=qux, Quu=quu, Qf=qf)
 
 
 def lqr_backward(coeffs: LqrCoeffs, reg: Array | float = 0.0) -> LqrSolution:

@@ -47,41 +47,51 @@ def _chunk_size(nx: int, nu: int, batch: int) -> int:
 # jnp.sum(a[:, :, None, :] * b[None, ...]) materializes an [i, k, j, B]
 # intermediate on the Pallas VMEM stack (measured 29 MB > the 16 MB scoped
 # limit at nx=10, B=2048); accumulating over k keeps temps at [i, j, B].
+#
+# Mosaic lowering constraint (measured on v5e): an integer index in a
+# NON-LEADING dim of a 3D value lowers to a 3D lax.gather, which Mosaic
+# rejects ("Only 2D gather is supported").  Leading-int indexing and
+# lax.slice_in_dim lower fine, so every middle-dim index below is a slice.
+
+
+def _col(a, k):
+    """a[:, k, None, :] for [i, k, B] without a gather: [i, 1, B]."""
+    return jax.lax.slice_in_dim(a, k, k + 1, axis=1)
 
 
 def _mm(a, b):
     """[i, k, B] @ [k, j, B] -> [i, j, B]."""
     kdim = a.shape[1]
-    acc = a[:, 0, None, :] * b[None, 0, :, :]
+    acc = _col(a, 0) * b[0][None]
     for k in range(1, kdim):
-        acc = acc + a[:, k, None, :] * b[None, k, :, :]
+        acc = acc + _col(a, k) * b[k][None]
     return acc
 
 
 def _mTm(a, b):
     """[k, i, B]' @ [k, j, B] -> [i, j, B]."""
     kdim = a.shape[0]
-    acc = a[0, :, None, :] * b[0, None, :, :]
+    acc = a[0][:, None, :] * b[0][None]
     for k in range(1, kdim):
-        acc = acc + a[k, :, None, :] * b[k, None, :, :]
+        acc = acc + a[k][:, None, :] * b[k][None]
     return acc
 
 
 def _mv(a, v):
     """[i, k, B] @ [k, B] -> [i, B]."""
     kdim = a.shape[1]
-    acc = a[:, 0, :] * v[None, 0, :]
+    acc = _col(a, 0) * v[0][None, None, :]
     for k in range(1, kdim):
-        acc = acc + a[:, k, :] * v[None, k, :]
-    return acc
+        acc = acc + _col(a, k) * v[k][None, None, :]
+    return jnp.squeeze(acc, axis=1)
 
 
 def _mTv(a, v):
     """[k, i, B]' @ [k, B] -> [i, B]."""
     kdim = a.shape[0]
-    acc = a[0] * v[0, None, :]
+    acc = a[0] * v[0][None, :]
     for k in range(1, kdim):
-        acc = acc + a[k] * v[k, None, :]
+        acc = acc + a[k] * v[k][None, :]
     return acc
 
 
@@ -157,7 +167,9 @@ def _kernel(
     qux_hat = qux + _mTm(bm, s_a)
     qxx_hat = qxx + _mTm(a, s_a)
     kk = -_chol_solve(quu_hat, qux_hat)           # [nu, nx, Bc]
-    kf = -_chol_solve(quu_hat, qu_hat[:, None, :])[:, 0, :]  # [nu, Bc]
+    kf = -jnp.squeeze(
+        _chol_solve(quu_hat, qu_hat[:, None, :]), axis=1
+    )  # [nu, Bc]
     quuk = _mm(quu_hat, kk)
     s_next = qxx_hat + _mTm(kk, quuk) + _mTm(kk, qux_hat) + _mTm(qux_hat, kk)
     s_next = 0.5 * (s_next + s_next.transpose(1, 0, 2))

@@ -31,7 +31,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.pipg import PipgSettings, estimate_cost_eigs, estimate_sigma
 from ..ops.riccati import LqrCoeffs
@@ -178,7 +178,7 @@ def pipg_solve_horizon_sharded(
             stage_spec, stage_spec, stage_spec, rep, rep,
         ),
         out_specs=(stage_spec, rep, stage_spec, rep),
-        check_rep=False,
+        check_vma=False,
     )
     zx, zxN, zu, res = sharded(
         coeffs.A, coeffs.B, coeffs.b, coeffs.Qxx, coeffs.qx,

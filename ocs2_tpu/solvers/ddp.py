@@ -17,10 +17,12 @@ src/GaussNewtonDDP.cpp:980-1086; SLQ.h:43; ILQR.h:43).  The mapping:
 * constraint handling: augmented Lagrangian with per-node multipliers
   (solvers/al.py), penalties folded exactly into the LQ approximation.
 
-"SLQ" here selects a finer integration of the same discrete recursion
-(rk4 + substeps) rather than an adaptive-step continuous Riccati ODE —
-adaptive stepping is data-dependent control flow XLA cannot tile; parity with
-the reference fixtures is established in tests (EXP0/EXP1 analogues).
+"SLQ" integrates the CONTINUOUS-TIME Riccati ODE over the nominal grid
+(ContinuousTimeRiccatiEquations.h:106) — fixed RK4 substeps of the matrix ODE
+with linearly interpolated model data inside one reverse scan (ops/
+riccati_ct.py), versus the reference's ODE45 over the same interpolated data;
+"ilqr" uses the discrete recursion on the discretized transitions.  Parity
+with the reference fixtures is established in tests (EXP0/EXP1 analogues).
 
 The whole solve is a single jittable, vmappable function: batching thousands
 of scenario solves per chip is `jax.vmap(solve)` (the TPU superpower the
@@ -36,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import PerformanceIndex
-from ..oc.approx import approximate_lq
+from ..oc.approx import approximate_lq, approximate_lq_ct
 from ..oc.problem import OptimalControlProblem
 from ..oc.metrics import TrajectoryMetrics, al_dual_ascent, al_merit, evaluate_trajectory
 from ..oc.rollout import ddp_search_policy, open_loop_policy, rollout
@@ -45,9 +47,11 @@ from ..ops.riccati import (
     LqrCoeffs,
     LqrSolution,
     convexify,
+    convexify_stage_hessians,
     lqr_backward,
     lqr_backward_parallel,
 )
+from ..ops.riccati_ct import slq_backward
 from .al import AlState, augment_problem
 
 Array = jax.Array
@@ -57,7 +61,7 @@ Array = jax.Array
 class DdpSettings:
     """Analogue of reference DDP_Settings.h:63-113."""
 
-    algorithm: str = "ilqr"  # "ilqr" | "slq" (slq = rk4 + substeps)
+    algorithm: str = "ilqr"  # "ilqr" (discrete Riccati) | "slq" (continuous)
     max_iterations: int = 15
     min_rel_cost: float = 1e-3  # relative merit decrease convergence
     constraint_tolerance: float = 1e-3
@@ -93,6 +97,10 @@ class DdpSettings:
     # loose bound over-damps coupled Hessians — see solvers/sqp.py)
     # (reference HessianCorrection.h:44 strategies).
     hessian_correction: str = "eigh"
+    # SLQ: RK4 substeps per interval for the continuous-time Riccati ODE
+    # (the reference integrates it with ODE45; fixed substeps keep the
+    # backward sweep one fused scan — ContinuousTimeRiccatiEquations.h:106).
+    riccati_substeps: int = 4
 
     @property
     def _substeps(self) -> int:
@@ -200,17 +208,30 @@ def solve(
 
     alphas = settings.alpha_decay ** jnp.arange(settings.num_alphas, dtype=x0.dtype)
 
-    def iteration(c: _Carry) -> _Carry:
-        p_al = dict(params, al=c.al)
+    def backward_pass(xs, us, p_al, reg) -> LqrSolution:
+        if settings.algorithm == "slq":
+            # Continuous-time SLQ: Riccati ODE over the nominal grid
+            # (ContinuousTimeRiccatiEquations.h:106; see ops/riccati_ct.py).
+            ct = approximate_lq_ct(aug, grid, xs, us, p_al)
+            if do_convexify:
+                q_m, p_m, r_m, qf = convexify_stage_hessians(
+                    ct.Q, ct.P, ct.R, ct.Qf, method=settings.hessian_correction
+                )
+                ct = ct._replace(Q=q_m, P=p_m, R=r_m, Qf=qf)
+            return slq_backward(ct, reg=reg, substeps=settings.riccati_substeps)
         lq = approximate_lq(
-            aug, grid, c.xs, c.us, p_al,
+            aug, grid, xs, us, p_al,
             method=settings.integrator, substeps=settings._substeps,
         )
         coeffs = _lq_to_coeffs(lq)
         if do_convexify:
             coeffs = convexify(coeffs, method=settings.hessian_correction)
         backward = lqr_backward_parallel if settings.parallel_riccati else lqr_backward
-        sol: LqrSolution = backward(coeffs, reg=c.reg)
+        return backward(coeffs, reg=reg)
+
+    def iteration(c: _Carry) -> _Carry:
+        p_al = dict(params, al=c.al)
+        sol: LqrSolution = backward_pass(c.xs, c.us, p_al, c.reg)
 
         # Batched line search over the alpha grid (replaces the reference's
         # thread racing, LineSearchStrategy.cpp:167).  Each candidate rollout
