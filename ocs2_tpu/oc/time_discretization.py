@@ -127,3 +127,55 @@ def make_time_grid(
 
 def uniform_grid(t0: float, tf: float, num_intervals: int) -> TimeGrid:
     return make_time_grid(t0, tf, num_intervals)
+
+
+def make_event_grid_traced(
+    t0,
+    tf,
+    num_base_intervals: int,
+    event_times: Array,  # [E] detected event times; inactive slots >= tf (or inf)
+    mode_sequence: Array,  # [E+1] int32 mode between consecutive events
+    dtype=jnp.float32,
+) -> TimeGrid:
+    """TRACED grid construction: event *values* are data, shapes are static.
+
+    The jit-compatible counterpart of make_time_grid for STATE-TRIGGERED
+    solving (reference StateTriggeredRollout feeding SLQ,
+    ocs2_ddp/test/HybridSlqTest.cpp): detected crossing times land in the
+    grid as duplicated node pairs without leaving the compiled program.
+
+    Fixed budget of E = event_times.shape[0] event slots; inactive slots
+    (>= tf) park their node pair at tf as zero-length NON-jump intervals (a
+    no-op for integration, cost and Riccati).  Total intervals
+    N = num_base_intervals + 2 E regardless of how many events fired.
+    """
+    e = event_times.shape[0]
+    t0 = jnp.asarray(t0, dtype)
+    tf = jnp.asarray(tf, dtype)
+    base = jnp.linspace(0.0, 1.0, num_base_intervals + 1).astype(dtype)
+    base = t0 + (tf - t0) * base
+    eps = 1e-6 * (tf - t0)
+    active = jnp.logical_and(event_times > t0 + eps, event_times < tf - eps)
+    ev = jnp.where(active, jnp.asarray(event_times, dtype), tf)
+    # Nudge events off base nodes so duplicated times identify event pairs
+    # uniquely (a triplicate would mark two jump intervals for one event).
+    snap = jnp.round((ev - t0) / jnp.maximum((tf - t0) / num_base_intervals, 1e-12))
+    on_node = jnp.abs(ev - (t0 + snap * (tf - t0) / num_base_intervals)) < eps
+    ev = jnp.where(jnp.logical_and(active, on_node), ev + 2 * eps, ev)
+
+    times = jnp.sort(jnp.concatenate([base, ev, ev]))
+    dts = times[1:] - times[:-1]
+    dup = dts <= 0.0
+    interior = times[:-1] < tf - eps
+    first_of_run = jnp.concatenate(
+        [dup[:1], jnp.logical_and(dup[1:], ~dup[:-1])]
+    )
+    is_jump = jnp.logical_and(jnp.logical_and(dup, interior), first_of_run)
+    is_jump = is_jump.astype(dtype)
+
+    jump_count = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(is_jump.astype(jnp.int32))]
+    )
+    mode_sequence = jnp.asarray(mode_sequence, jnp.int32)
+    modes = mode_sequence[jnp.minimum(jump_count, e)]
+    return TimeGrid(times=times, is_jump=is_jump, modes=modes)
