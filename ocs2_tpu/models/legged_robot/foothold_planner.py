@@ -1,0 +1,579 @@
+"""Foothold planning on segmented-planes terrain + terrain-adaptive swing.
+
+TPU-native analogue of the reference SwingTrajectoryPlanner pipeline
+(ocs2_switched_model_interface/foot_planner/SwingTrajectoryPlanner.h:
+selectHeuristicFootholds -> selectNominalFootholdTerrain -> per-phase
+StancePhase / SwingPhase references, FootPhase.h) and the constraints it
+feeds (FootNormalConstraint.h — hybrid position/velocity equality along the
+local surface normal; FootPhase.h tangentialConstraintsFromConvexTerrain —
+A_p * p + b >= 0 keeping stance feet inside the chosen convex segment).
+
+Split (mirrors the reference reference-manager stage): PLANNING runs on the
+host once per MPC tick on tiny arrays — contact phases off the mode
+schedule, heuristic footholds from the base target, projection onto the
+segmented planes, quintic-ish swing profiles adapted to terrain height along
+the swing line.  The product is a FootholdPlan of fixed-shape per-node
+arrays consumed in-jit by the constraints below via the injected node index
+(identical flow to swing.plan_swing_references).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gait import contact_flags, contact_flags_static
+from .model import (
+    HIP_OFFSETS,
+    NUM_LEGS,
+    STAND_HEIGHT,
+    foot_positions_world,
+    foot_velocities_world,
+)
+from .segmented_planes import SegmentedPlanesTerrain
+from .terrain import ElevationMap
+
+Array = jax.Array
+_BIG = 1e6
+
+
+class FootholdPlan(NamedTuple):
+    """Per-node foot references (all [N+1, ...], world frame).
+
+    normal:    [N+1, 4, 3] surface normal (stance: segment plane normal;
+               swing: liftoff->touchdown blended normal).
+    pos_ref_n: [N+1, 4]  reference of n . p_foot (stance: n . foothold;
+               swing: n . swing spline point).
+    vel_ref_n: [N+1, 4]  reference of n . v_foot.
+    foothold:  [N+1, 4, 3] active/upcoming foothold location.
+    pos_ref:   [N+1, 4, 3] full 3D foot position reference (stance: the
+               foothold; swing: the swing spline point) — drives the soft
+               MotionTracking-style cost so touchdown lands ON the planned
+               foothold (reference motion tracking of the swing trajectory).
+    vel_ref:   [N+1, 4, 3] full 3D foot velocity reference.
+    tang_A:    [N+1, 4, V, 3], tang_b: [N+1, 4, V]  stance tangential
+               polygon rows A p + b >= 0; inert rows (0, BIG) for swing.
+    """
+
+    normal: Array
+    pos_ref_n: Array
+    vel_ref_n: Array
+    foothold: Array
+    pos_ref: Array
+    vel_ref: Array
+    tang_A: Array
+    tang_b: Array
+
+
+class FootholdPlannerSettings(NamedTuple):
+    """Reference SwingTrajectoryPlannerSettings analogue (the subset that
+    shapes footholds/swing; SwingTrajectoryPlanner.h:21-45)."""
+
+    swing_height: float = 0.08
+    position_gain: float = 20.0  # FootNormalConstraint positionGain
+    sdf_clearance: float = 0.03  # obstacle clearance at mid-swing
+    inverted_pendulum_height: float = STAND_HEIGHT
+    terrain_margin: float = 0.0
+
+
+# -- host-side numpy mirrors of the polygon queries --------------------------
+
+
+def _project_polygon_np(boundary: np.ndarray, nv: int, p: np.ndarray):
+    """Numpy mirror of segmented_planes.project_to_polygon_2d."""
+    v = boundary[:nv]
+    p2 = np.roll(v, -1, axis=0)
+    e = p2 - v
+    len2 = np.maximum((e * e).sum(1), 1e-12)
+    r = np.clip(((p[None] - v) * e).sum(1) / len2, 0.0, 1.0)
+    q = v + r[:, None] * e
+    d2 = ((p[None] - q) ** 2).sum(1)
+    best = int(np.argmin(d2))
+    cross = e[:, 0] * (p[1] - v[:, 1]) - e[:, 1] * (p[0] - v[:, 0])
+    inside = bool(np.all(cross >= 0.0))
+    return (-d2[best] if inside else d2[best]), q[best]
+
+
+def _closest_segment_np(terr: SegmentedPlanesTerrain, p_world: np.ndarray):
+    """(seg id, projected 3D point) — host mirror of closest_segment."""
+    pp = np.asarray(terr.plane_point)
+    nn = np.asarray(terr.plane_normal)
+    t1 = np.asarray(terr.tangent1)
+    t2 = np.asarray(terr.tangent2)
+    bd = np.asarray(terr.boundary)
+    nv = np.asarray(terr.num_vertices)
+    valid = np.asarray(terr.valid)
+    best, best_d2, best_proj = 0, np.inf, p_world
+    for k in range(pp.shape[0]):
+        if not valid[k]:
+            continue
+        rel = p_world - pp[k]
+        uv = np.array([rel @ t1[k], rel @ t2[k]])
+        sq, img = _project_polygon_np(bd[k], int(nv[k]), uv)
+        uv_in = uv if sq <= 0 else img
+        proj = pp[k] + uv_in[0] * t1[k] + uv_in[1] * t2[k]
+        d2 = ((p_world - proj) ** 2).sum()
+        if d2 < best_d2:
+            best, best_d2, best_proj = k, d2, proj
+    return best, best_proj
+
+
+def _tangential_rows_np(terr: SegmentedPlanesTerrain, k: int, margin: float):
+    """Host mirror of segmented_planes.tangential_constraint."""
+    pp = np.asarray(terr.plane_point)[k]
+    t1 = np.asarray(terr.tangent1)[k]
+    t2 = np.asarray(terr.tangent2)[k]
+    bd = np.asarray(terr.boundary)[k]
+    nv = int(np.asarray(terr.num_vertices)[k])
+    V = bd.shape[0]
+    A = np.zeros((V, 3), np.float32)
+    b = np.full((V,), _BIG, np.float32)
+    v = bd[:nv]
+    p2 = np.roll(v, -1, axis=0)
+    e = p2 - v
+    en = np.stack([-e[:, 1], e[:, 0]], axis=1)
+    en /= np.maximum(np.linalg.norm(en, axis=1, keepdims=True), 1e-9)
+    rows = en[:, 0:1] * t1[None] + en[:, 1:2] * t2[None]
+    verts_w = pp[None] + v[:, 0:1] * t1[None] + v[:, 1:2] * t2[None]
+    A[:nv] = rows
+    b[:nv] = -(rows * verts_w).sum(1) - margin
+    return A, b
+
+
+def _quintic_1d(s: np.ndarray, p0, v0, p1, v1):
+    """Quintic with zero acceleration at both ends on s in [0, 1]
+    (reference QuinticSplineSwing): returns (p(s), dp/ds)."""
+    # Hermite-quintic basis with a0=a1=0.
+    h00 = 1 - 10 * s**3 + 15 * s**4 - 6 * s**5
+    h10 = s - 6 * s**3 + 8 * s**4 - 3 * s**5
+    h01 = 10 * s**3 - 15 * s**4 + 6 * s**5
+    h11 = -4 * s**3 + 7 * s**4 - 3 * s**5
+    p = h00 * p0 + h10 * v0 + h01 * p1 + h11 * v1
+    d00 = -30 * s**2 + 60 * s**3 - 30 * s**4
+    d10 = 1 - 18 * s**2 + 32 * s**3 - 15 * s**4
+    d01 = 30 * s**2 - 60 * s**3 + 30 * s**4
+    d11 = -12 * s**2 + 28 * s**3 - 15 * s**4
+    dp = d00 * p0 + d10 * v0 + d01 * p1 + d11 * v1
+    return p, dp
+
+
+def plan_footholds(
+    terr: SegmentedPlanesTerrain,
+    em: ElevationMap,
+    node_times: np.ndarray,
+    node_modes: np.ndarray,
+    x0,
+    target,
+    settings: FootholdPlannerSettings = FootholdPlannerSettings(),
+) -> FootholdPlan:
+    """Build the FootholdPlan for one horizon (host, per MPC tick).
+
+    Pipeline per leg (reference SwingTrajectoryPlanner::updateSwingMotions):
+    contact phases off the node modes -> heuristic foothold at each phase's
+    middle from the base target (hip projection + inverted-pendulum shift,
+    selectHeuristicFootholds) -> projection onto the best segment
+    (selectNominalFootholdTerrain / getConvexTerrainAtPositionInWorld) ->
+    stance rows + terrain-adaptive swing splines between consecutive
+    footholds (SwingPhase with terrain clearance).
+    """
+    node_times = np.asarray(node_times, np.float64)
+    node_modes = np.asarray(node_modes)
+    n1 = node_times.shape[0]
+    V = terr.boundary.shape[1]
+    heights_np = np.asarray(em.heights)
+    res = float(em.resolution)
+    origin = np.asarray(em.origin_xy, np.float64)
+
+    normal = np.tile(np.array([0, 0, 1.0], np.float32), (n1, NUM_LEGS, 1))
+    pos_ref_n = np.zeros((n1, NUM_LEGS), np.float32)
+    vel_ref_n = np.zeros((n1, NUM_LEGS), np.float32)
+    foothold = np.zeros((n1, NUM_LEGS, 3), np.float32)
+    pos_ref = np.zeros((n1, NUM_LEGS, 3), np.float32)
+    vel_ref = np.zeros((n1, NUM_LEGS, 3), np.float32)
+    tang_A = np.zeros((n1, NUM_LEGS, V, 3), np.float32)
+    tang_b = np.full((n1, NUM_LEGS, V), _BIG, np.float32)
+
+    feet0 = np.asarray(foot_positions_world(jnp.asarray(x0)))
+    base_v0 = np.asarray(x0)[0:3]
+    flags = np.stack([contact_flags_static(int(m)) for m in node_modes])
+
+    def height_line_max(p0, p1, samples=12):
+        """Max terrain height along the xy segment (reference
+        getHighestObstacleAlongLine)."""
+        ss = np.linspace(0.0, 1.0, samples)
+        xy = p0[None, :2] * (1 - ss)[:, None] + p1[None, :2] * ss[:, None]
+        ij = (xy - origin[None]) / res
+        i = np.clip(ij[:, 0].round().astype(int), 0, heights_np.shape[0] - 1)
+        j = np.clip(ij[:, 1].round().astype(int), 0, heights_np.shape[1] - 1)
+        return float(heights_np[i, j].max())
+
+    for leg in range(NUM_LEGS):
+        in_contact = flags[:, leg] > 0.5
+        # Phase boundaries: runs of equal contact flag over nodes.
+        bounds = [0] + [k for k in range(1, n1) if in_contact[k] != in_contact[k - 1]] + [n1]
+        phases = [
+            (bounds[i], bounds[i + 1], bool(in_contact[bounds[i]]))
+            for i in range(len(bounds) - 1)
+        ]
+
+        # 1) Foothold per contact phase.
+        phase_foothold: list = []
+        phase_seg: list = []
+        for (s, e, contact) in phases:
+            if not contact:
+                phase_foothold.append(None)
+                phase_seg.append(None)
+                continue
+            if s == 0:
+                # Ongoing stance: keep the current foot position
+                # (reference updateLastContact).
+                heur = feet0[leg]
+            else:
+                t_mid = 0.5 * (node_times[s] + node_times[min(e, n1 - 1)])
+                xb = np.asarray(target.state_at(jnp.float32(t_mid)))
+                yaw = xb[9]
+                cz, sz = np.cos(yaw), np.sin(yaw)
+                rot = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1.0]])
+                heur = xb[6:9] + rot @ np.asarray(HIP_OFFSETS[leg], np.float64)
+                # Inverted-pendulum shift toward the base velocity
+                # (reference invertedPendulumHeight adjustment).
+                t_swing = max(node_times[s] - node_times[0], 0.0)
+                ip = np.sqrt(settings.inverted_pendulum_height / 9.81)
+                heur = heur + ip * np.concatenate([base_v0[:2], [0.0]]) * min(t_swing, 0.5)
+                heur[2] = 0.0
+            k, proj = _closest_segment_np(terr, np.asarray(heur, np.float64))
+            phase_foothold.append(proj.astype(np.float32))
+            phase_seg.append(k)
+
+        # 2) Per-node stance rows + swing splines.
+        nn_np = np.asarray(terr.plane_normal)
+        for pi, (s, e, contact) in enumerate(phases):
+            if contact:
+                k = phase_seg[pi]
+                fh = phase_foothold[pi]
+                n_k = nn_np[k]
+                A, b = _tangential_rows_np(terr, k, settings.terrain_margin)
+                for node in range(s, e):
+                    normal[node, leg] = n_k
+                    pos_ref_n[node, leg] = float(n_k @ fh)
+                    vel_ref_n[node, leg] = 0.0
+                    foothold[node, leg] = fh
+                    pos_ref[node, leg] = fh
+                    vel_ref[node, leg] = 0.0
+                    tang_A[node, leg] = A
+                    tang_b[node, leg] = b
+            else:
+                # Swing: previous foothold -> next foothold.
+                prev_fh = None
+                for pj in range(pi - 1, -1, -1):
+                    if phase_foothold[pj] is not None:
+                        prev_fh = phase_foothold[pj]
+                        break
+                next_fh, next_seg = None, None
+                for pj in range(pi + 1, len(phases)):
+                    if phase_foothold[pj] is not None:
+                        next_fh, next_seg = phase_foothold[pj], phase_seg[pj]
+                        break
+                if prev_fh is None:
+                    prev_fh = feet0[leg].astype(np.float32)
+                if next_fh is None:
+                    next_fh, next_seg = prev_fh, None
+                t_lo = node_times[max(s - 1, 0)]
+                t_td = node_times[min(e, n1 - 1)]
+                dur = max(t_td - t_lo, 1e-3)
+                # Terrain-adaptive apex (SwingPhase: SDF clearance at
+                # mid-swing): clear the highest terrain along the line.
+                obst = height_line_max(prev_fh, next_fh)
+                apex = (
+                    max(float(prev_fh[2]), float(next_fh[2])) + settings.swing_height
+                )
+                apex = max(apex, obst + settings.sdf_clearance + settings.swing_height)
+                # Normal blend liftoff->touchdown plane.
+                n_lo = normal[max(s - 1, 0), leg].astype(np.float64)
+                n_td = nn_np[next_seg] if next_seg is not None else n_lo
+                for node in range(s, e):
+                    ph = (node_times[node] - t_lo) / dur
+                    nb = (1 - ph) * n_lo + ph * np.asarray(n_td, np.float64)
+                    nb /= max(np.linalg.norm(nb), 1e-9)
+                    # Two-piece quintic through the apex at ph=0.5.
+                    if ph < 0.5:
+                        z, dz = _quintic_1d(
+                            np.asarray(2 * ph), float(prev_fh[2]), 0.0, apex, 0.0
+                        )
+                        dz *= 2.0 / dur
+                    else:
+                        z, dz = _quintic_1d(
+                            np.asarray(2 * ph - 1), apex, 0.0, float(next_fh[2]), 0.0
+                        )
+                        dz *= 2.0 / dur
+                    xy = prev_fh[:2] * (1 - ph) + next_fh[:2] * ph
+                    vxy = (next_fh[:2] - prev_fh[:2]) / dur
+                    p_ref = np.array([xy[0], xy[1], z])
+                    v_ref = np.array([vxy[0], vxy[1], dz])
+                    normal[node, leg] = nb
+                    pos_ref_n[node, leg] = float(nb @ p_ref)
+                    vel_ref_n[node, leg] = float(nb @ v_ref)
+                    foothold[node, leg] = next_fh
+                    pos_ref[node, leg] = p_ref
+                    vel_ref[node, leg] = v_ref
+
+    return FootholdPlan(
+        normal=jnp.asarray(normal),
+        pos_ref_n=jnp.asarray(pos_ref_n),
+        vel_ref_n=jnp.asarray(vel_ref_n),
+        foothold=jnp.asarray(foothold),
+        pos_ref=jnp.asarray(pos_ref),
+        vel_ref=jnp.asarray(vel_ref),
+        tang_A=jnp.asarray(tang_A),
+        tang_b=jnp.asarray(tang_b),
+    )
+
+
+# -- in-jit constraints consuming the plan -----------------------------------
+
+
+def foot_normal_constraint(position_gain: float = 20.0):
+    """[4] state-input equality — the reference FootNormalConstraint
+    (constraint/FootNormalConstraint.h): n.v_foot - v_ref + gain*(n.p_foot
+    - p_ref) = 0, active in BOTH stance (stabilizes the foot onto the plane)
+    and swing (tracks the terrain-adaptive spline along the normal)."""
+
+    def g(t, x, u, p):
+        del t
+        node = p["node"]
+        n = p["fh_normal"][node]  # [4, 3]
+        feet = foot_positions_world(x)
+        vels = foot_velocities_world(x, u)
+        perr = jnp.sum(n * feet, axis=1) - p["fh_pos_n"][node]
+        verr = jnp.sum(n * vels, axis=1) - p["fh_vel_n"][node]
+        return verr + position_gain * perr
+
+    return g
+
+
+def stance_tangential_velocity(t, x, u, p):
+    """[8] equality: stance feet do not slide — foot velocity components in
+    the two tangent directions of the local plane are zero; swing rows are
+    lifted to force rows (zero-force swing feet) keeping the merged
+    constraint full-rank for projection (same trick as
+    constraints.foot_constraint)."""
+    del t
+    from .model import contact_forces
+
+    node = p["node"]
+    c = contact_flags(p["mode"])
+    n = p["fh_normal"][node]  # [4, 3]
+    # Tangent basis from the normal (Gram-Schmidt on world x/y).
+    ref = jnp.where(jnp.abs(n[:, 0:1]) < 0.9, jnp.array([[1.0, 0, 0]]), jnp.array([[0.0, 1, 0]]))
+    t1 = jnp.cross(n, ref)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n, t1)
+    vels = foot_velocities_world(x, u)
+    f = contact_forces(u)
+    rows1 = c * jnp.sum(t1 * vels, 1) + (1 - c) * jnp.sum(t1 * f, 1)
+    rows2 = c * jnp.sum(t2 * vels, 1) + (1 - c) * jnp.sum(t2 * f, 1)
+    return jnp.concatenate([rows1, rows2])
+
+
+def foothold_polygon_penalty(t, x, p):
+    """[4 * V] state inequality: stance feet inside the chosen segment's
+    convex polygon, A p + b >= 0 per edge (reference FootPhase.h
+    tangentialConstraintsFromConvexTerrain + FootPlacementCost); swing and
+    padded rows are inert (b = BIG)."""
+    del t
+    node = p["node"]
+    c = contact_flags(p["mode"])  # [4]
+    A = p["fh_tang_A"][node]  # [4, V, 3]
+    b = p["fh_tang_b"][node]  # [4, V]
+    feet = foot_positions_world(x)  # [4, 3]
+    vals = jnp.einsum("lvk,lk->lv", A, feet) + b
+    # Swing rows satisfied by construction (A=0, b=BIG per edge when the
+    # phase is swing) — the contact gate keeps gradients off swing feet.
+    vals = c[:, None] * vals + (1 - c[:, None]) * 1.0
+    return vals.reshape(-1)
+
+
+def swing_motion_error(t, x, p):
+    """[4 * 2] swing-foot xy tracking error toward the planned swing line
+    (reference perceptive MotionTracking cost on foot positions,
+    ocs2_switched_model_interface/cost/MotionTrackingCost) — without it
+    nothing references swing xy and touchdown lands wherever the
+    joint-default cost pulls it, off the selected foothold/segment.  The z
+    axis is owned by the (hard) FootNormalConstraint, so only the two
+    tangential world axes are tracked here."""
+    del t
+    node = p["node"]
+    c = contact_flags(p["mode"])
+    feet = foot_positions_world(x)
+    err = (feet[:, :2] - p["fh_pos_ref"][node][:, :2]) * (1.0 - c)[:, None]
+    return err.reshape(-1)
+
+
+def plan_friction_cone(mu: float = 0.7, cone_eps: float = 5.0):
+    """[4] inequality: friction cone about the PLANNED per-node surface
+    normal (reference FrictionConeCost on the TerrainPlane of the stance
+    phase).  Reads the precomputed plan normal — no per-query plane fit
+    inside the solver (the segmentation already ran once per map update)."""
+    from .model import contact_forces
+
+    def h(t, x, u, p):
+        del t, x
+        node = p["node"]
+        c = contact_flags(p["mode"])
+        n = p["fh_normal"][node]  # [4, 3]
+        f = contact_forces(u)
+        fn = jnp.sum(n * f, axis=1)
+        ft = f - fn[:, None] * n
+        cone = mu * fn - jnp.sqrt(jnp.sum(ft * ft, axis=1) + cone_eps)
+        return c * cone + (1.0 - c) * 1.0
+
+    return h
+
+
+# -- problem assembly + reference manager ------------------------------------
+
+
+def make_segmented_perceptive_problem(
+    settings: FootholdPlannerSettings = FootholdPlannerSettings(),
+    polygon_weight: float = 2000.0,
+    swing_tracking_weight: float = 200.0,
+):
+    """Assemble the segmented-planes perceptive OCP (the reference
+    perceptive-anymal problem: base tracking + FootNormalConstraint +
+    zero-slip + terrain friction cone + FootPlacementCost,
+    ocs2_quadruped_interface/QuadrupedInterface.h:27)."""
+    from ...core import penalties as pen
+    from ...oc.problem import (
+        OptimalControlProblem,
+        quadratic_cost,
+        quadratic_final_cost,
+        soft_constraint,
+    )
+    from . import model
+    from .interface import Q_DIAG, R_MAT
+
+    return OptimalControlProblem(
+        dynamics=model.dynamics,
+        cost_terms=(
+            quadratic_cost(np.diag(Q_DIAG), R_MAT),
+            soft_constraint(
+                plan_friction_cone(), pen.relaxed_barrier(mu=0.1, delta=5.0)
+            ),
+        ),
+        final_cost_terms=(quadratic_final_cost(10.0 * np.diag(Q_DIAG[:24])),),
+        equality_terms=(
+            stance_tangential_velocity,
+            foot_normal_constraint(settings.position_gain),
+        ),
+        state_cost_terms=(
+            soft_constraint(
+                foothold_polygon_penalty,
+                pen.squared_hinge(mu=2.0 * polygon_weight),
+                with_input=False,
+            ),
+            soft_constraint(
+                swing_motion_error,
+                pen.quadratic(scale=2.0 * swing_tracking_weight),
+                with_input=False,
+            ),
+        ),
+        nx=model.NX,
+        nu=model.NU,
+    )
+
+
+def plan_to_params(plan: FootholdPlan, params: dict) -> dict:
+    """Merge a FootholdPlan into a solver params dict (the fh_* keys read by
+    the constraints above)."""
+    return dict(
+        params,
+        fh_normal=plan.normal,
+        fh_pos_n=plan.pos_ref_n,
+        fh_vel_n=plan.vel_ref_n,
+        fh_foothold=plan.foothold,
+        fh_pos_ref=plan.pos_ref,
+        fh_vel_ref=plan.vel_ref,
+        fh_tang_A=plan.tang_A,
+        fh_tang_b=plan.tang_b,
+    )
+
+
+def make_perceptive_params(
+    grid,
+    terrain: SegmentedPlanesTerrain,
+    em: ElevationMap,
+    x0,
+    target,
+    settings: FootholdPlannerSettings = FootholdPlannerSettings(),
+) -> dict:
+    """Base params for the segmented-planes perceptive problem: the standard
+    legged params plus an initial FootholdPlan on this grid (the
+    PerceptiveReferenceManager re-plans every tick)."""
+    from .interface import make_params
+
+    params = make_params(grid, target=target)
+    plan = plan_footholds(
+        terrain, em, np.asarray(grid.times), np.asarray(grid.modes),
+        x0, target, settings,
+    )
+    return plan_to_params(plan, params)
+
+
+class PerceptiveReferenceManager:
+    """SwitchedModelReferenceManager + segmented-planes foothold planning:
+    re-plans footholds/swing references on the concrete grid before every
+    solve (the reference wires SwingTrajectoryPlanner::updateSwingMotions
+    into SwitchedModelReferenceManager::preSolverRun)."""
+
+    def __init__(
+        self,
+        terrain: SegmentedPlanesTerrain,
+        em: ElevationMap,
+        gait_schedule,
+        target=None,
+        settings: FootholdPlannerSettings = FootholdPlannerSettings(),
+    ):
+        from .interface import SwitchedModelReferenceManager
+
+        self._inner = SwitchedModelReferenceManager(gait_schedule, target)
+        self.terrain = terrain
+        self.em = em
+        self.settings = settings
+        self._x0 = None
+
+    # ReferenceManager protocol (duck-typed by Mpc).
+    def set_target(self, target):
+        self._inner.set_target(target)
+
+    def set_mode_schedule(self, ms):
+        self._inner.set_mode_schedule(ms)
+
+    def set_gait(self, g):
+        self._inner.set_gait(g)
+
+    def pre_solver_run(self, t0, tf, x0):
+        self._x0 = x0
+        self._inner.pre_solver_run(t0, tf, x0)
+
+    @property
+    def target(self):
+        return self._inner.target
+
+    @property
+    def mode_schedule(self):
+        return self._inner.mode_schedule
+
+    def augment_params(self, grid, params: dict) -> dict:
+        params = self._inner.augment_params(grid, params)
+        plan = plan_footholds(
+            self.terrain,
+            self.em,
+            np.asarray(grid.times),
+            np.asarray(grid.modes),
+            self._x0,
+            self.target,
+            self.settings,
+        )
+        return plan_to_params(plan, params)
