@@ -355,6 +355,25 @@ def _lqr_backward_cv(coeffs: LqrCoeffs, reg: Array) -> LqrSolution:
 # b256/nu=12 regressed 3x batch-minor, ballbot b4096/nu=3 gained 3x).
 _BATCH_MINOR_MIN_SIZE = 1024
 
+# Pallas batch-minor kernel (ops/riccati_pallas.py): keeps the (S, s) carry in
+# VMEM across the whole time sweep instead of round-tripping HBM per step.
+# Measured on the v5e: ballbot b4096 backward 3.5 ms vs 7.1 ms XLA batch-minor;
+# legged b256/nx=24 28 ms vs 52 ms batch-minor vs 116 ms stock vmap.  Wins from
+# one full 128-lane chunk up; requires a TPU backend (Mosaic lowering).
+_PALLAS_MIN_SIZE = 128
+
+
+def _pallas_eligible(axis_size: int, coeffs: LqrCoeffs) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if axis_size < _PALLAS_MIN_SIZE or axis_size % 128 != 0:
+        return False
+    nx, nu = coeffs.A.shape[-1], coeffs.B.shape[-1]
+    # The unrolled entry-form kernel targets small control-sized blocks; the
+    # (S, s) scratch + double-buffered stages must fit the ~16 MB VMEM at the
+    # minimum 128-lane chunk (ample below nx,nu <= 32).
+    return nx <= 32 and nu <= 32
+
 
 @_lqr_backward_cv.def_vmap
 def _lqr_backward_vmap_rule(axis_size, in_batched, coeffs, reg):
@@ -365,7 +384,11 @@ def _lqr_backward_vmap_rule(axis_size, in_batched, coeffs, reg):
 
     coeffs = jax.tree.map(bcast, coeffs, cb)
     reg = reg if rb else jnp.broadcast_to(reg, (axis_size,) + jnp.shape(reg))
-    if axis_size >= _BATCH_MINOR_MIN_SIZE:
+    if _pallas_eligible(axis_size, coeffs):
+        from .riccati_pallas import lqr_backward_pallas
+
+        out = lqr_backward_pallas(coeffs, reg)
+    elif axis_size >= _BATCH_MINOR_MIN_SIZE:
         out = _lqr_backward_batched(coeffs, reg)
     else:
         out = jax.vmap(_lqr_backward_single)(coeffs, reg)
