@@ -242,7 +242,15 @@ def plan_footholds(
                 t_swing = max(node_times[s] - node_times[0], 0.0)
                 ip = np.sqrt(settings.inverted_pendulum_height / 9.81)
                 heur = heur + ip * np.concatenate([base_v0[:2], [0.0]]) * min(t_swing, 0.5)
-                heur[2] = 0.0
+                # Seed the heuristic height from the terrain under its xy
+                # (reference seeds from the previous contact / terrain height
+                # before selectNominalFootholdTerrain) — anchoring at z=0
+                # mis-selects the lower of two stacked segments whenever the
+                # height difference exceeds the xy overshoot.
+                ij = (heur[:2] - origin) / res
+                hi = int(np.clip(round(ij[0]), 0, heights_np.shape[0] - 1))
+                hj = int(np.clip(round(ij[1]), 0, heights_np.shape[1] - 1))
+                heur[2] = float(heights_np[hi, hj])
             k, proj = _closest_segment_np(terr, np.asarray(heur, np.float64))
             phase_foothold.append(proj.astype(np.float32))
             phase_seg.append(k)
@@ -353,28 +361,76 @@ def foot_normal_constraint(position_gain: float = 20.0):
     return g
 
 
-def stance_tangential_velocity(t, x, u, p):
-    """[8] equality: stance feet do not slide — foot velocity components in
-    the two tangent directions of the local plane are zero; swing rows are
-    lifted to force rows (zero-force swing feet) keeping the merged
-    constraint full-rank for projection (same trick as
-    constraints.foot_constraint)."""
-    del t
-    from .model import contact_forces
+def foot_contact_constraint(position_gain: float = 20.0):
+    """[12] equality — the merged per-leg contact constraint (3 rows/leg):
 
-    node = p["node"]
-    c = contact_flags(p["mode"])
-    n = p["fh_normal"][node]  # [4, 3]
-    # Tangent basis from the normal (Gram-Schmidt on world x/y).
-    ref = jnp.where(jnp.abs(n[:, 0:1]) < 0.9, jnp.array([[1.0, 0, 0]]), jnp.array([[0.0, 1, 0]]))
-    t1 = jnp.cross(n, ref)
-    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=1, keepdims=True), 1e-9)
-    t2 = jnp.cross(n, t1)
-    vels = foot_velocities_world(x, u)
-    f = contact_forces(u)
-    rows1 = c * jnp.sum(t1 * vels, 1) + (1 - c) * jnp.sum(t1 * f, 1)
-    rows2 = c * jnp.sum(t2 * vels, 1) + (1 - c) * jnp.sum(t2 * f, 1)
-    return jnp.concatenate([rows1, rows2])
+    stance: (t1.v, t2.v, n.v + gain*(n.p - n.foothold)) = 0 — no slip in the
+            tangent plane plus attachment to the segment plane along its
+            normal (reference stance FootNormalConstraint.h + zero tangential
+            velocity),
+    swing:  (t1.f, t2.f, n.f) = 0 — the FULL 3-component zero contact force
+            (reference ZeroForceConstraint.h,
+            ocs2_switched_model_interface/constraint/ZeroForceConstraint.h).
+
+    The mode-paired rows keep the merged constraint full-rank in u for the
+    QR projection (stance rows act on joint velocities through the foot
+    Jacobian, swing rows on the force channels).  Swing normal-direction
+    spline tracking — the reference's swing FootNormalConstraint — moves to
+    the soft ``swing_normal_motion_error`` below: a swing leg's 3 force rows
+    + a hard velocity row would exceed the leg's constrainable inputs at
+    static shape (the stance side has only 3 independent velocity rows), and
+    soft tracking of the swing reference matches the reference
+    MotionTrackingCost behavior.
+    """
+
+    def g(t, x, u, p):
+        del t
+        from .model import contact_forces
+
+        node = p["node"]
+        c = contact_flags(p["mode"])
+        n = p["fh_normal"][node]  # [4, 3]
+        # Tangent basis from the normal (Gram-Schmidt on world x/y).
+        ref = jnp.where(
+            jnp.abs(n[:, 0:1]) < 0.9, jnp.array([[1.0, 0, 0]]), jnp.array([[0.0, 1, 0]])
+        )
+        t1 = jnp.cross(n, ref)
+        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=1, keepdims=True), 1e-9)
+        t2 = jnp.cross(n, t1)
+        vels = foot_velocities_world(x, u)
+        feet = foot_positions_world(x)
+        f = contact_forces(u)
+        rows1 = c * jnp.sum(t1 * vels, 1) + (1 - c) * jnp.sum(t1 * f, 1)
+        rows2 = c * jnp.sum(t2 * vels, 1) + (1 - c) * jnp.sum(t2 * f, 1)
+        normal_eq = (
+            jnp.sum(n * vels, axis=1)
+            - p["fh_vel_n"][node]
+            + position_gain * (jnp.sum(n * feet, axis=1) - p["fh_pos_n"][node])
+        )
+        rows3 = c * normal_eq + (1 - c) * jnp.sum(n * f, 1)
+        return jnp.concatenate([rows1, rows2, rows3])
+
+    return g
+
+
+def swing_normal_motion_error(position_gain: float = 20.0):
+    """[4] swing-foot normal-direction tracking residual (soft): the swing
+    half of the reference FootNormalConstraint — n.v_foot - v_ref +
+    gain*(n.p_foot - p_ref), gated to swing legs (stance legs carry the hard
+    plane-attachment row inside foot_contact_constraint)."""
+
+    def g(t, x, u, p):
+        del t
+        node = p["node"]
+        c = contact_flags(p["mode"])
+        n = p["fh_normal"][node]
+        feet = foot_positions_world(x)
+        vels = foot_velocities_world(x, u)
+        perr = jnp.sum(n * feet, axis=1) - p["fh_pos_n"][node]
+        verr = jnp.sum(n * vels, axis=1) - p["fh_vel_n"][node]
+        return (1.0 - c) * (verr + position_gain * perr)
+
+    return g
 
 
 def foothold_polygon_penalty(t, x, p):
@@ -461,11 +517,14 @@ def make_segmented_perceptive_problem(
             soft_constraint(
                 plan_friction_cone(), pen.relaxed_barrier(mu=0.1, delta=5.0)
             ),
+            soft_constraint(
+                swing_normal_motion_error(settings.position_gain),
+                pen.quadratic(scale=2.0 * swing_tracking_weight),
+            ),
         ),
         final_cost_terms=(quadratic_final_cost(10.0 * np.diag(Q_DIAG[:24])),),
         equality_terms=(
-            stance_tangential_velocity,
-            foot_normal_constraint(settings.position_gain),
+            foot_contact_constraint(settings.position_gain),
         ),
         state_cost_terms=(
             soft_constraint(

@@ -94,6 +94,12 @@ def _fit_plane_np(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return c, n / np.linalg.norm(n)
 
 
+def _cross2(a: np.ndarray, b: np.ndarray) -> float:
+    """2D scalar cross product (np.cross on 2D vectors is removed in
+    NumPy >= 2.0)."""
+    return a[0] * b[1] - a[1] * b[0]
+
+
 def _convex_hull_2d(pts: np.ndarray) -> np.ndarray:
     """Andrew monotone chain, CCW [M, 2] -> hull [H, 2]."""
     pts = np.unique(np.round(pts, 9), axis=0)
@@ -104,7 +110,7 @@ def _convex_hull_2d(pts: np.ndarray) -> np.ndarray:
     def half(points):
         out = []
         for p in points:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+            while len(out) >= 2 and _cross2(out[-1] - out[-2], p - out[-2]) <= 0:
                 out.pop()
             out.append(p)
         return out
@@ -124,7 +130,7 @@ def _simplify_hull(hull: np.ndarray, max_vertices: int) -> np.ndarray:
         losses = np.empty(n)
         for i in range(n):
             a, b, c = hull[i - 1], hull[i], hull[(i + 1) % n]
-            losses[i] = abs(np.cross(b - a, c - a)) * 0.5
+            losses[i] = abs(_cross2(b - a, c - a)) * 0.5
         hull = np.delete(hull, int(np.argmin(losses)), axis=0)
     return hull
 
@@ -312,11 +318,16 @@ def closest_segment(
     return k, project_to_segment(terr, k, p_world)
 
 
-def tangential_constraint(terr: SegmentedPlanesTerrain, k: Array):
+def tangential_constraint(
+    terr: SegmentedPlanesTerrain, k: Array, margin: float = 0.0
+):
     """Linear world-frame inequalities A @ p_world + b >= 0 keeping the foot
     inside segment k's polygon (reference
     tangentialConstraintsFromConvexTerrain, FootPhase.h): one row per
     boundary edge; padded edges yield inert rows (0 @ p + BIG >= 0).
+    ``margin`` shrinks the feasible region by a normal offset per edge
+    (reference terrainMargin) — same semantics as the host mirror
+    ``foothold_planner._tangential_rows_np``.
 
     Returns (A [V, 3], b [V]).
     """
@@ -336,7 +347,10 @@ def tangential_constraint(terr: SegmentedPlanesTerrain, k: Array):
     # World-frame row: n_world = en_u * t1 + en_v * t2 (constraint is
     # invariant along the plane normal).
     A = en[:, 0:1] * t1[None, :] + en[:, 1:2] * t2[None, :]  # [V, 3]
-    b = -jnp.sum(A * (point[None, :] + p1[:, 0:1] * t1 + p1[:, 1:2] * t2), axis=1)
+    b = (
+        -jnp.sum(A * (point[None, :] + p1[:, 0:1] * t1 + p1[:, 1:2] * t2), axis=1)
+        - margin
+    )
     real = idx < nv
     A = jnp.where(real[:, None], A, 0.0)
     b = jnp.where(real, b, _BIG)

@@ -233,6 +233,13 @@ class Mpc:
         us = interpolate_batch(prev.times[:-1], prev.us, grid.times[:-1])
         return xs, us
 
+    @property
+    def last_policy(self) -> Optional[MpcPolicy]:
+        """The most recent MpcPolicy produced by run(), or None before the
+        first tick — the public accessor for operator tooling (analogue of
+        MRT_BASE's buffered policy getter)."""
+        return self._prev
+
     def reset(self) -> None:
         """Analogue of the MPC reset service (MPC_ROS_Interface reset.srv)."""
         self._prev = None

@@ -357,13 +357,28 @@ _BATCH_MINOR_MIN_SIZE = 1024
 
 # Pallas batch-minor kernel (ops/riccati_pallas.py): keeps the (S, s) carry in
 # VMEM across the whole time sweep instead of round-tripping HBM per step.
-# Measured on the v5e: ballbot b4096 backward 3.5 ms vs 7.1 ms XLA batch-minor;
-# legged b256/nx=24 28 ms vs 52 ms batch-minor vs 116 ms stock vmap.  Wins from
-# one full 128-lane chunk up; requires a TPU backend (Mosaic lowering).
+# Dispatch is gated on MEASURED end-to-end data (r5 A/B on the v5e, see
+# PROFILE.md "Pallas dispatch A/B"): the isolated backward pass wins at every
+# shape, but at tiny state dims (ballbot nx=10/nu=3) the transposes in/out of
+# the kernel's time-leading layout cost more than the kernel saves and the
+# b4096 ballbot DDP solve regressed 11.5% end-to-end (BENCH_r03 vs r04).  The
+# predicate below therefore requires a state dim big enough that the backward
+# pass dominates relayout (nx >= 16, measured crossover).  Requires a TPU
+# backend (Mosaic lowering).  Override with OCS2_TPU_PALLAS=on|off|auto.
 _PALLAS_MIN_SIZE = 128
+_PALLAS_MIN_NX = 16
+
+
+def _pallas_mode() -> str:
+    import os
+
+    return os.environ.get("OCS2_TPU_PALLAS", "auto")
 
 
 def _pallas_eligible(axis_size: int, coeffs: LqrCoeffs) -> bool:
+    mode = _pallas_mode()
+    if mode == "off":
+        return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     if axis_size < _PALLAS_MIN_SIZE or axis_size % 128 != 0:
@@ -372,7 +387,11 @@ def _pallas_eligible(axis_size: int, coeffs: LqrCoeffs) -> bool:
     # The unrolled entry-form kernel targets small control-sized blocks; the
     # (S, s) scratch + double-buffered stages must fit the ~16 MB VMEM at the
     # minimum 128-lane chunk (ample below nx,nu <= 32).
-    return nx <= 32 and nu <= 32
+    if not (nx <= 32 and nu <= 32):
+        return False
+    if mode == "on":
+        return True
+    return nx >= _PALLAS_MIN_NX
 
 
 @_lqr_backward_cv.def_vmap

@@ -203,11 +203,12 @@ def keyboard_command_loop(mpc, u_target=None, stream=None, out=None) -> None:
         except (ValueError, AssertionError):
             emit(f"cannot parse '{line}'")
             continue
-        x_now = mpc._prev.xs[0] if mpc._prev is not None else None
-        if x_now is None:
+        policy = mpc.last_policy
+        if policy is None:
             emit("no policy yet")
             continue
-        t_now = float(mpc._prev.times[0])
+        x_now = policy.xs[0]
+        t_now = float(policy.times[0])
         tt = pose_command_to_target(x_now, d, t0=t_now, u_target=u_target)
         mpc.reference_manager.set_target(tt)
         emit(f"target set: {d} arriving at t={float(tt.times[-1]):.2f}")

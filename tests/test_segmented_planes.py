@@ -304,6 +304,30 @@ class TestPerceptiveSolve:
         assert worst_n < 0.04, worst_n
         assert worst_poly < 0.05, worst_poly
 
+        # No ghost thrust: swing legs carry ZERO contact force in ALL THREE
+        # components — reference ZeroForceConstraint.h semantics (the r4
+        # advisor found the normal component was unconstrained).
+        forces = np.asarray(sol.us)[:, : 3 * 4].reshape(n, 4, 3)
+        swing = flags_all[:n] < 0.5
+        worst_f = float(np.abs(forces[swing]).max()) if swing.any() else 0.0
+        assert worst_f < 1e-2, worst_f
+
+    def test_tangential_margin_device_host_agree(self):
+        """terrain_margin shifts device rows identically to the host mirror
+        (_tangential_rows_np) — r4 advisor low finding."""
+        from ocs2_tpu.models.legged_robot.foothold_planner import (
+            _tangential_rows_np,
+        )
+
+        terr = decompose_planes(stepped_terrain())
+        margin = 0.07
+        for k in range(2):
+            A_d, b_d = tangential_constraint(terr, jnp.asarray(k), margin)
+            A_h, b_h = _tangential_rows_np(terr, k, margin)
+            real = np.arange(A_h.shape[0]) < int(terr.num_vertices[k])
+            np.testing.assert_allclose(np.asarray(A_d)[real], A_h[real], atol=1e-5)
+            np.testing.assert_allclose(np.asarray(b_d)[real], b_h[real], atol=1e-4)
+
 
 class TestClosedLoopPerceptive:
     def test_dummy_loop_over_step(self):
