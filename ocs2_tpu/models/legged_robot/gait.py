@@ -242,3 +242,202 @@ class GaitAdaptation:
         if any(early):
             return apply_early_touchdown(ms, t, early)
         return ms
+
+
+# ---------------------------------------------------------------------------
+# Gait sequences + asynchronous gait commands (perceptive-anymal logic stack).
+# ---------------------------------------------------------------------------
+
+
+class GaitSequenceSchedule:
+    """Deque-of-gaits schedule with phase tracking — the perceptive-anymal
+    GaitSchedule (ocs2_switched_model_interface/logic/GaitSchedule.h:17-77)
+    whose switching logic is GaitSwitching.h's recursive phase advance: the
+    LAST gait repeats indefinitely; scheduled gaits consume the deque as time
+    passes.
+
+    Unlike the periodic `GaitSchedule` above (one template + pending swap),
+    this holds an explicit timeline of (start_time, gait) entries, supporting
+    setNextGait / setGaitAtTime / setGaitAfterTime / gait sequences.
+    """
+
+    def __init__(self, time: float, gait: ModeSequenceTemplate, capacity: int = 16):
+        self.time = float(time)
+        self.capacity = capacity
+        # Timeline: list of (start_time, gait); gaits[i] is active on
+        # [start[i], start[i+1]); the last repeats forever.
+        self._timeline: list[tuple[float, ModeSequenceTemplate]] = [
+            (float(time), gait)
+        ]
+
+    # -- queries ------------------------------------------------------------
+    def _active_index(self, t: float) -> int:
+        i = 0
+        for j, (s, _) in enumerate(self._timeline):
+            if s <= t:
+                i = j
+        return i
+
+    def current_gait(self, t=None) -> ModeSequenceTemplate:
+        return self._timeline[self._active_index(self.time if t is None else t)][1]
+
+    def current_phase(self, t=None) -> float:
+        """Normalized phase in [0, 1) of the active gait (reference
+        Gait.h phase variable / GaitSwitching::advancePhase)."""
+        t = self.time if t is None else t
+        i = self._active_index(t)
+        start, gait = self._timeline[i]
+        return ((t - start) % gait.duration) / gait.duration
+
+    def time_left_in_gait(self, t=None) -> float:
+        t = self.time if t is None else t
+        i = self._active_index(t)
+        start, gait = self._timeline[i]
+        return gait.duration - ((t - start) % gait.duration)
+
+    def _cycle_boundary_after(self, t: float) -> float:
+        """First completed-cycle boundary of the active gait at/after t."""
+        i = self._active_index(t)
+        start, gait = self._timeline[i]
+        k = np.ceil((t - start) / gait.duration - 1e-12)
+        return float(start + max(k, 0.0) * gait.duration)
+
+    # -- mutations (GaitSchedule.h:22-43) -----------------------------------
+    def advance_to_time(self, t: float) -> None:
+        """Drop timeline entries completed before t (advanceToTime)."""
+        assert t >= self.time - 1e-9, "time must be increasing"
+        self.time = float(t)
+        while len(self._timeline) > 1 and self._timeline[1][0] <= t:
+            self._timeline.pop(0)
+
+    def set_next_gait(self, gait: ModeSequenceTemplate) -> None:
+        self.set_gait_sequence_after_current((gait,))
+
+    def set_gait_sequence_after_current(self, gaits) -> None:
+        """Append after the CURRENT gait completes its cycle; later scheduled
+        gaits are dropped (setGaitSequenceAfterCurrentGait)."""
+        boundary = self._cycle_boundary_after(self.time)
+        if boundary <= self.time:
+            boundary += self.current_gait().duration
+        i = self._active_index(self.time)
+        self._timeline = self._timeline[: i + 1]
+        t = boundary
+        for g in gaits:
+            self._timeline.append((t, g))
+            t += g.duration
+    def set_gait_at_time(self, gait: ModeSequenceTemplate, t: float) -> None:
+        """Insert at exactly t, shrinking the gait active there and dropping
+        everything later (setGaitAtTime)."""
+        self.set_gait_sequence_at_time((gait,), t)
+
+    def set_gait_sequence_at_time(self, gaits, t: float) -> None:
+        i = self._active_index(t)
+        self._timeline = self._timeline[: i + 1]
+        tt = float(t)
+        for g in gaits:
+            self._timeline.append((tt, g))
+            tt += g.duration
+
+    def set_gait_after_time(self, gait: ModeSequenceTemplate, t: float) -> None:
+        """Insert at the first cycle boundary after t (setGaitAfterTime —
+        'does not adapt gait cycle durations')."""
+        self.set_gait_sequence_after_time((gait,), t)
+
+    def set_gait_sequence_after_time(self, gaits, t: float) -> None:
+        boundary = self._cycle_boundary_after(max(t, self.time))
+        if boundary <= t:
+            i = self._active_index(t)
+            boundary += self._timeline[i][1].duration
+        self.set_gait_sequence_at_time(gaits, boundary)
+
+    # -- expansion ----------------------------------------------------------
+    def mode_schedule(self, t0: float, tf: float) -> ModeSchedule:
+        """Stitch the timeline into a padded ModeSchedule over [t0, tf]
+        (getModeSchedule + rolloutGaitScheduleTillTime)."""
+        events, modes = [], []
+        i = self._active_index(t0)
+        timeline = self._timeline[i:]
+        for j, (start, gait) in enumerate(timeline):
+            seg_end = timeline[j + 1][0] if j + 1 < len(timeline) else tf + gait.duration
+            sw = np.asarray(gait.switching_times[:-1], np.float64)
+            mseq = np.asarray(gait.mode_sequence)
+            k = int(np.floor((max(t0, start) - start) / gait.duration))
+            cycle_start = start + k * gait.duration
+            while cycle_start < min(seg_end, tf) + gait.duration:
+                for jj, s in enumerate(sw):
+                    t_evt = cycle_start + s
+                    if t_evt >= seg_end:
+                        break
+                    events.append(t_evt)
+                    modes.append(int(mseq[jj]))
+                cycle_start += gait.duration
+            if seg_end > tf:
+                break
+        events = np.asarray(events, np.float64)
+        modes_arr = np.asarray(modes)
+        order = np.argsort(events, kind="stable")
+        events, modes_arr = events[order], modes_arr[order]
+        keep = (events > t0) & (events < tf)
+        first_after = int(np.searchsorted(events, t0, side="right"))
+        lead = modes_arr[max(first_after - 1, 0)] if len(modes_arr) else STANCE
+        kept_e = events[keep][: self.capacity]
+        kept_m = modes_arr[keep][: self.capacity]
+        return ModeSchedule.create(
+            kept_e, np.concatenate([[lead], kept_m]), capacity=self.capacity
+        )
+
+
+def is_standing(schedule: GaitSequenceSchedule, horizon: float = 0.0) -> bool:
+    """True when every mode over [t, t+horizon] is full stance
+    (reference isStanding / isStandingDuringTimeHorizon)."""
+    ms = schedule.mode_schedule(schedule.time, schedule.time + max(horizon, 1e-6))
+    n = int(ms.num_events)
+    return bool(np.all(np.asarray(ms.mode_sequence)[: n + 1] == STANCE))
+
+
+class GaitReceiver:
+    """Asynchronous gait command channel applied pre-solve (reference
+    GaitReceiver, ocs2_switched_model_interface/logic/GaitReceiver.h:22 —
+    ROS subscribers + Synchronized<GaitSchedule> replaced by a thread-safe
+    command queue drained in pre_solver_run)."""
+
+    def __init__(self, schedule: GaitSequenceSchedule):
+        import threading
+
+        self.schedule = schedule
+        self._lock = threading.Lock()
+        self._pending: list = []
+
+    # Command surface (the three subscriber callbacks).
+    def command_gait(self, gait_or_name, at_time: float | None = None) -> None:
+        gait = (
+            GAIT_MAP[gait_or_name]()
+            if isinstance(gait_or_name, str)
+            else gait_or_name
+        )
+        with self._lock:
+            self._pending.append(("gait", gait, at_time))
+
+    def command_gait_sequence(self, gaits, at_time: float | None = None) -> None:
+        gaits = tuple(
+            GAIT_MAP[g]() if isinstance(g, str) else g for g in gaits
+        )
+        with self._lock:
+            self._pending.append(("sequence", gaits, at_time))
+
+    def pre_solver_run(self, t0: float, tf: float, x0) -> None:
+        del tf, x0
+        with self._lock:
+            pending, self._pending = self._pending, []
+        self.schedule.advance_to_time(t0)
+        for kind, payload, at_time in pending:
+            if kind == "gait":
+                if at_time is None:
+                    self.schedule.set_next_gait(payload)
+                else:
+                    self.schedule.set_gait_after_time(payload, at_time)
+            else:
+                if at_time is None:
+                    self.schedule.set_gait_sequence_after_current(payload)
+                else:
+                    self.schedule.set_gait_sequence_after_time(payload, at_time)

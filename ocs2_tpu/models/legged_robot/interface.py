@@ -93,10 +93,13 @@ R_MAT = _input_cost_weight()
 def make_problem(
     friction_cone: str = "soft",  # "soft" (relaxed barrier) | "hard" (AL)
     project_foot_constraint: bool = True,
-    model_type: str = "srbd",  # "srbd" | "full" (CentroidalModelType)
+    model_type: str = "srbd",  # "srbd" | "full" | "comkino"
 ) -> OptimalControlProblem:
     if model_type == "full":
         from .centroidal import dynamics_full as _dynamics
+    elif model_type == "comkino":
+        # Full kinodynamic model (perceptive-anymal ComKinoSystemDynamicsAd).
+        from .comkino import dynamics as _dynamics
     else:
         _dynamics = model.dynamics
     problem = OptimalControlProblem(

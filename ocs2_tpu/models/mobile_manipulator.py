@@ -258,6 +258,164 @@ def make_urdf_arm_problem(
     )
 
 
+# ---------------------------------------------------------------------------
+# Base-type variants over URDF arms (reference ManipulatorModelType:
+# DefaultManipulatorDynamics / WheelBasedMobileManipulatorDynamics /
+# FloatingArmManipulatorDynamics / FullyActuatedFloatingArmManipulatorDynamics,
+# ocs2_mobile_manipulator/include/ocs2_mobile_manipulator/dynamics/*.h).
+# ---------------------------------------------------------------------------
+
+BASE_TYPES = (
+    "default",
+    "wheel_based",
+    "floating_arm",
+    "fully_actuated_floating_arm",
+)
+
+
+def _base_dims(base_type: str, dof: int):
+    """(num base states, num base inputs, nx, nu) per variant."""
+    if base_type == "default":
+        return 0, 0, dof, dof
+    if base_type == "wheel_based":
+        return 3, 2, 3 + dof, 2 + dof
+    if base_type == "floating_arm":
+        # 6-DOF base pose in the state, unactuated (static platform whose
+        # pose is part of the optimization state but has zero flow —
+        # FloatingArmManipulatorDynamics.cpp:49-51).
+        return 6, 0, 6 + dof, dof
+    if base_type == "fully_actuated_floating_arm":
+        # 6-DOF base pose, velocity-actuated (...cpp:51: dxdt = input).
+        return 6, 6, 6 + dof, 6 + dof
+    raise ValueError(f"unknown base_type {base_type!r}; one of {BASE_TYPES}")
+
+
+def make_urdf_manipulator_problem(
+    loaded,
+    base_type: str = "default",
+    velocity_weight: float = 0.5,
+    base_velocity_limit: float = 0.5,
+) -> OptimalControlProblem:
+    """Kinematic EE-tracking MPC for a URDF arm on any of the reference's
+    four base types (MobileManipulatorInterface + dynamics/*.h).
+
+    State/input layouts (arm dof = d):
+      default:                     x = q[d],                u = dq[d]
+      wheel_based:                 x = [xy, yaw, q],        u = [v, w, dq]
+      floating_arm:                x = [pos(3), euler_zyx(3), q],  u = dq
+      fully_actuated_floating_arm: x = [pos(3), euler_zyx(3), q],
+                                   u = [v_base(3), w_euler_rates(3), dq]
+    """
+    chain = loaded.chain
+    dof = chain.num_dof
+    nb, nbu, nx, nu = _base_dims(base_type, dof)
+    lower = np.asarray(loaded.lower, np.float32)
+    upper = np.asarray(loaded.upper, np.float32)
+    vmax_arm = np.asarray(np.minimum(loaded.velocity, 1e3), np.float32)
+    if base_type == "wheel_based":
+        vmax = np.concatenate(
+            [np.array([base_velocity_limit, 1.0], np.float32), vmax_arm]
+        )
+    elif base_type == "fully_actuated_floating_arm":
+        vmax = np.concatenate([np.full(6, base_velocity_limit, np.float32), vmax_arm])
+    else:
+        vmax = vmax_arm
+
+    def base_pose(x):
+        """(base_rot, base_pos) world transform of the arm mount."""
+        if base_type == "default":
+            return jnp.eye(3), jnp.zeros(3)
+        if base_type == "wheel_based":
+            return rot_axis(2, x[2]), jnp.array([x[0], x[1], 0.0])
+        # floating variants: position + euler zyx.
+        yaw, pitch, roll = x[3], x[4], x[5]
+        rot = rot_axis(2, yaw) @ rot_axis(1, pitch) @ rot_axis(0, roll)
+        return rot, x[0:3]
+
+    def arm_q(x):
+        return x[nb:]
+
+    def ee(x):
+        rot, pos = base_pose(x)
+        return chain.forward(arm_q(x), base_rot=rot, base_pos=pos)
+
+    def dyn(t, x, u, p):
+        del t, p
+        if base_type == "default":
+            return u
+        if base_type == "wheel_based":
+            yaw = x[2]
+            dbase = jnp.array([u[0] * jnp.cos(yaw), u[0] * jnp.sin(yaw), u[1]])
+            return jnp.concatenate([dbase, u[2:]])
+        if base_type == "floating_arm":
+            return jnp.concatenate([jnp.zeros(6, x.dtype), u])
+        return u  # fully actuated: dxdt = input
+
+    def ee_cost_xu(t, x, u, p):
+        del t, u
+        pos, rot = ee(x)
+        c = 50.0 * jnp.sum((pos - p["ee_target"]) ** 2)
+        if isinstance(p, dict) and "ee_target_rot" in p:
+            c = c + 30.0 * jnp.sum(rotation_error(rot, p["ee_target_rot"]) ** 2)
+        return c
+
+    def ee_final(t, x, p):
+        return ee_cost_xu(t, x, None, p)
+
+    def in_cost(t, x, u, p):
+        del t, x, p
+        return velocity_weight * jnp.sum((u / vmax) ** 2)
+
+    def q_limits(t, x, p):
+        del t, p
+        q = arm_q(x)
+        return jnp.concatenate([q - lower, upper - q])
+
+    def dq_limits(t, x, u, p):
+        del t, x, p
+        return jnp.concatenate([u + vmax, vmax - u])
+
+    barrier = pen.relaxed_barrier(mu=1e-2, delta=1e-3)
+    finite_q = np.all(np.isfinite(lower)) and np.all(np.isfinite(upper))
+    state_soft = (
+        (soft_constraint(q_limits, barrier, with_input=False),)
+        if finite_q
+        else ()
+    )
+    return OptimalControlProblem(
+        dynamics=dyn,
+        cost_terms=(ee_cost_xu, in_cost, soft_constraint(dq_limits, barrier)),
+        state_cost_terms=state_soft,
+        final_cost_terms=(ee_final,) + state_soft,
+        nx=nx,
+        nu=nu,
+    )
+
+
+def variant_home_state(loaded, base_type: str, base_pose=None, q_home=None):
+    """Home state for a base variant; base_pose = [pos(3), euler_zyx(3)] for
+    the floating variants.  ``q_home`` overrides the default joint home
+    (limit midpoints) — pass a non-singular configuration for arms whose
+    midpoint is a kinematic singularity (e.g. a fully stretched UR5)."""
+    dof = loaded.chain.num_dof
+    nb, _, _, _ = _base_dims(base_type, dof)
+    if q_home is not None:
+        q_home = jnp.asarray(q_home, jnp.float32)
+    else:
+        q_home = jnp.asarray(
+            np.where(
+                np.isfinite(loaded.lower) & np.isfinite(loaded.upper),
+                0.5 * (np.asarray(loaded.lower) + np.asarray(loaded.upper)),
+                0.0,
+            ),
+            jnp.float32,
+        )
+    base = jnp.zeros(nb, jnp.float32)
+    if base_pose is not None and nb == 6:
+        base = jnp.asarray(base_pose, jnp.float32)
+    return jnp.concatenate([base, q_home])
+
+
 def make_params(ee_target=(1.0, 0.5, 0.8), ee_target_rot=None):
     p = {"ee_target": jnp.asarray(ee_target, jnp.float32)}
     if ee_target_rot is not None:

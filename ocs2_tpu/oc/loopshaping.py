@@ -90,6 +90,81 @@ def split_state(defn: LoopshapingDefinition, x_aug: Array):
     return x_aug[:-nf], x_aug[-nf:]
 
 
+def wrap_problem_r_filter(
+    problem: OptimalControlProblem,
+    defn: LoopshapingDefinition,
+) -> OptimalControlProblem:
+    """The reference's TRUE outputpattern (r_filter route,
+    LoopshapingPropertyTree.cpp:154: 'The system inputs remain the inputs of
+    the augmented system. Loopshaping inputs are a linear combination of
+    state and system inputs', LoopshapingDefinition.h:39-44):
+
+        x_aug = [x, xi],  xi' = A xi + B u,   input stays u,
+        extra cost  1/2 y' R_v y  with  y = C xi + D u  (getFilteredInput).
+
+    Every original cost/constraint term is untouched (same classification,
+    same u-Jacobians — projection/AL machinery identical to the unshaped
+    problem); only the dynamics gain the filter block and the cost gains the
+    filtered-output penalty.  With the filter chosen as y = s_inv(s)·u this
+    penalizes exactly the anymal loopshaping transfer of the input."""
+    nx, nf = problem.nx, defn.num_filter_states
+    assert defn.R_v is not None, "r_filter pattern needs the shaping weight R_v"
+
+    def dynamics(t, xa, u, p):
+        x, xi = xa[:nx], xa[nx:]
+        dx = problem.dynamics(t, x, u, p)
+        dxi = defn.A @ xi + defn.B @ u
+        return jnp.concatenate([dx, dxi])
+
+    def wrap_xu(term):
+        def fn(t, xa, u, p):
+            return term(t, xa[:nx], u, p)
+
+        return fn
+
+    def wrap_x(term):
+        def fn(t, xa, p):
+            return term(t, xa[:nx], p)
+
+        return fn
+
+    def shaping_cost(t, xa, u, p):
+        y = defn.C @ xa[nx:] + defn.D @ u
+        return 0.5 * y @ defn.R_v @ y
+
+    jump_map = None
+    if problem.jump_map is not None:
+
+        def jump_map(t, xa, p):
+            x_next = problem.apply_jump(t, xa[:nx], p)
+            return jnp.concatenate([x_next, xa[nx:]])
+
+    return dataclasses.replace(
+        problem,
+        dynamics=dynamics,
+        nx=nx + nf,
+        cost_terms=tuple(wrap_xu(c) for c in problem.cost_terms)
+        + (shaping_cost,),
+        state_cost_terms=tuple(wrap_x(c) for c in problem.state_cost_terms),
+        pre_jump_cost_terms=tuple(
+            wrap_x(c) for c in problem.pre_jump_cost_terms
+        ),
+        final_cost_terms=tuple(wrap_x(c) for c in problem.final_cost_terms),
+        equality_terms=tuple(wrap_xu(g) for g in problem.equality_terms),
+        inequality_terms=tuple(wrap_xu(g) for g in problem.inequality_terms),
+        state_equality_terms=tuple(
+            wrap_x(g) for g in problem.state_equality_terms
+        ),
+        state_inequality_terms=tuple(
+            wrap_x(g) for g in problem.state_inequality_terms
+        ),
+        final_equality_terms=tuple(
+            wrap_x(g) for g in problem.final_equality_terms
+        ),
+        jump_map=jump_map,
+    )
+
+
 def wrap_problem(
     problem: OptimalControlProblem,
     defn: LoopshapingDefinition,

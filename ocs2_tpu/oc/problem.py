@@ -301,6 +301,60 @@ class GaussNewtonCost:
         )
 
 
+class ResidualGaussNewtonCost:
+    """Weighted-residual cost  0.5 ||sqrt(w) * r(t,x,u,p)||^2  with the
+    Gauss-Newton quadratization  grad = J'(w*r),  Hess = J' diag(w) J
+    (residual curvature dropped) — the reference's StateInputGaussNewtonCostAd
+    pattern (ocs2_core/cost/StateInputGaussNewtonCostAd.h), used by e.g.
+    MotionTrackingCost (ocs2_switched_model_interface/cost/MotionTrackingCost.h:
+    'cost = sum_i w_i (target_i - ref_i)^2')."""
+
+    psd_quadratization = True  # J' diag(w) J with w >= 0
+
+    def __init__(self, residual_fn, weights, with_input: bool = True):
+        self.residual_fn = residual_fn
+        self.weights = np.asarray(weights, np.float32)  # numpy: see above
+        self.with_input = with_input
+
+    def __call__(self, *args):
+        r = jnp.atleast_1d(self.residual_fn(*args))
+        return 0.5 * jnp.sum(self.weights * r * r)
+
+    def quad_approx(self, *args):
+        from ..core.types import ScalarQuadraticApproximation
+
+        p = args[-1]
+        if self.with_input:
+            t, x, u, _ = args
+            nx = x.shape[0]
+            z = jnp.concatenate([x, u])
+            rz = lambda zz: jnp.atleast_1d(  # noqa: E731
+                self.residual_fn(t, zz[:nx], zz[nx:], p)
+            )
+        else:
+            t, x, _ = args
+            z = x
+            rz = lambda zz: jnp.atleast_1d(self.residual_fn(t, zz, p))  # noqa: E731
+        r = rz(z)
+        jac = jax.jacrev(rz)(z)  # [nr, nz]
+        grad = jac.T @ (self.weights * r)
+        hess = (jac * self.weights[:, None]).T @ jac
+        f = 0.5 * jnp.sum(self.weights * r * r)
+        if not self.with_input:
+            return ScalarQuadraticApproximation(
+                f=f, dfdx=grad, dfdu=None, dfdxx=hess, dfdux=None, dfduu=None
+            )
+        nx = args[1].shape[0]
+        return ScalarQuadraticApproximation(
+            f=f,
+            dfdx=grad[:nx],
+            dfdu=grad[nx:],
+            dfdxx=hess[:nx, :nx],
+            dfdux=hess[nx:, :nx],
+            dfduu=hess[nx:, nx:],
+        )
+
+
 # --------------------------------------------------------------------------
 # Common term constructors.
 # --------------------------------------------------------------------------

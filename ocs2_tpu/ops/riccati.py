@@ -357,16 +357,16 @@ _BATCH_MINOR_MIN_SIZE = 1024
 
 # Pallas batch-minor kernel (ops/riccati_pallas.py): keeps the (S, s) carry in
 # VMEM across the whole time sweep instead of round-tripping HBM per step.
-# Dispatch is gated on MEASURED end-to-end data (r5 A/B on the v5e, see
-# PROFILE.md "Pallas dispatch A/B"): the isolated backward pass wins at every
-# shape, but at tiny state dims (ballbot nx=10/nu=3) the transposes in/out of
-# the kernel's time-leading layout cost more than the kernel saves and the
-# b4096 ballbot DDP solve regressed 11.5% end-to-end (BENCH_r03 vs r04).  The
-# predicate below therefore requires a state dim big enough that the backward
-# pass dominates relayout (nx >= 16, measured crossover).  Requires a TPU
-# backend (Mosaic lowering).  Override with OCS2_TPU_PALLAS=on|off|auto.
+# Dispatch is gated on MEASURED data (r5 A/B on the v5e, prof/pallas_ab.py,
+# PROFILE.md "Pallas dispatch A/B"): with an honest 4-byte fence the chained
+# isolated backward wins at every bench shape (ballbot b4096/N32/nx10:
+# 2.53 ms vs 3.33 ms XLA batch-minor; quadrotor b4096/N40/nx12: 3.43 vs
+# 6.41 ms) and the END-TO-END b4096 ballbot DDP lane wins too (39.7k vs
+# 37.5k solves/s).  BENCH_r04's apparent 11.5% regression was a measurement
+# artifact: the old fence bulk-transferred the 5.4 MB output leaf over the
+# ~10 MB/s tunnel, swamping the solve.  Requires a TPU backend (Mosaic
+# lowering).  Override with OCS2_TPU_PALLAS=on|off|auto.
 _PALLAS_MIN_SIZE = 128
-_PALLAS_MIN_NX = 16
 
 
 def _pallas_mode() -> str:
@@ -387,11 +387,7 @@ def _pallas_eligible(axis_size: int, coeffs: LqrCoeffs) -> bool:
     # The unrolled entry-form kernel targets small control-sized blocks; the
     # (S, s) scratch + double-buffered stages must fit the ~16 MB VMEM at the
     # minimum 128-lane chunk (ample below nx,nu <= 32).
-    if not (nx <= 32 and nu <= 32):
-        return False
-    if mode == "on":
-        return True
-    return nx >= _PALLAS_MIN_NX
+    return nx <= 32 and nu <= 32
 
 
 @_lqr_backward_cv.def_vmap

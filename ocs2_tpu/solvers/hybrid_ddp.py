@@ -47,6 +47,13 @@ class HybridDdpSolution(NamedTuple):
     event_times: Array  # [E] detected crossing times (inf where unused)
     mode_sequence: Array  # [E+1]
     rollout: HybridTrajectory  # final-policy state-triggered rollout
+    # Per-outer-round max |event_time - previous round's event_time| over
+    # active events (NaN for rounds not executed; drift[0] is vs the initial
+    # open-loop detection).  The convergence measure of the outer loop — the
+    # analogue of the reference's switching-time stationarity check in
+    # HybridSlqTest.cpp (events must stop moving as the policy converges).
+    event_drift: Array  # [outer_rounds]
+    rounds_run: Array  # [] int32
 
 
 def _detect_events(traj: HybridTrajectory, max_events: int, mode0):
@@ -75,12 +82,19 @@ def solve_state_triggered(
     rollout_steps: Optional[int] = None,
     mode0: int = 0,
     settings: ddp.DdpSettings = ddp.DdpSettings(),
+    event_tol: float = 0.0,
 ) -> HybridDdpSolution:
     """Jittable end-to-end state-triggered solve.
 
     ``problem`` must express the same dynamics/jump as ``system`` with the
     active mode read from ``params["mode"]`` (the per-node mode injected by
     the grid) — ``system`` drives detection, ``problem`` drives optimization.
+
+    ``event_tol`` > 0 enables early termination of the outer loop once the
+    detected event times move less than the tolerance between rounds (only
+    effective when called OUTSIDE jit, where the drift is concrete; under
+    jit all ``outer_rounds`` are traced and ``event_drift``/``rounds_run``
+    report the convergence instead).
     """
     steps = rollout_steps or 2 * num_base_intervals
     dt_roll = (float(tf) - float(t0)) / steps
@@ -99,12 +113,35 @@ def solve_state_triggered(
     grid = None
     ev = None
     mode_seq = None
+    drift = jnp.full((outer_rounds,), jnp.nan, jnp.asarray(x0).dtype)
+    rounds_run = 0
 
-    for _ in range(outer_rounds):
+    for round_i in range(outer_rounds):
         traj = rollout_state_triggered(
             system, t0, x0, policy, dt_roll, steps, params, mode0=mode0_arr
         )
+        ev_prev = ev
         ev, mode_seq = _detect_events(traj, max_events, mode0_arr)
+        rounds_run = round_i + 1
+        if ev_prev is not None:
+            # Drift over events active in BOTH rounds (inf slots excluded);
+            # an event count change registers as +inf drift.
+            both = jnp.logical_and(jnp.isfinite(ev), jnp.isfinite(ev_prev))
+            moved = jnp.where(both, jnp.abs(ev - ev_prev), 0.0)
+            count_changed = jnp.any(jnp.isfinite(ev) != jnp.isfinite(ev_prev))
+            d = jnp.where(count_changed, jnp.inf, jnp.max(moved))
+            drift = drift.at[round_i].set(d)
+            if event_tol > 0.0:
+                try:
+                    if bool(d < event_tol):
+                        # Events stationary: the previous round's solve is
+                        # already consistent with these events.
+                        ev, mode_seq = ev_prev, prev_mode_seq
+                        grid = prev_grid
+                        break
+                except jax.errors.TracerBoolConversionError:
+                    pass  # under jit: run all rounds, report drift instead
+        prev_mode_seq = mode_seq
         grid = make_event_grid_traced(
             t0, tf, num_base_intervals, ev, mode_seq, dtype=jnp.asarray(x0).dtype
         )
@@ -137,4 +174,6 @@ def solve_state_triggered(
     return HybridDdpSolution(
         ddp=sol, grid=grid, event_times=ev, mode_sequence=mode_seq,
         rollout=final_traj,
+        event_drift=drift,
+        rounds_run=jnp.asarray(rounds_run, jnp.int32),
     )

@@ -112,11 +112,18 @@ class SqpSettings:
     outer_update_every: int = 10
     parallel_riccati: bool = False
     use_feedback_policy: bool = True
-    # Inner QP backend: "riccati" (exact, scan — HPIPM-class) or "pipg"
-    # (first-order horizon-parallel, the SLP configuration; ocs2_slp).
+    # Inner QP backend: "riccati" (exact, scan — HPIPM-class), "pipg"
+    # (first-order horizon-parallel, the SLP configuration; ocs2_slp), or
+    # "pipg_sharded" (PIPG with the horizon sharded over `time_mesh` —
+    # parallel/horizon.py; the multi-chip expression of PipgSolver.cpp's
+    # ThreadPool fan-out).
     qp_solver: str = "riccati"
     pipg_iterations: int = 2000
     ruiz_iterations: int = 5
+    # Mesh with a "time" axis for qp_solver="pipg_sharded" (the horizon
+    # length must be divisible by the axis size).
+    time_mesh: Any = None
+    time_mesh_axis: str = "time"
 
 
 class IterationLog(NamedTuple):
@@ -268,16 +275,29 @@ def solve(
             """Inner QP: exact Riccati scan, or first-order PIPG (the SLP
             configuration — Ruiz equilibration + extrapolated PIPG,
             solvers/slp.py; reference SlpSolver.cpp:246-283)."""
-            if settings.qp_solver == "pipg":
+            if settings.qp_solver in ("pipg", "pipg_sharded"):
                 from ..ops.pipg import PipgSettings, pipg_solve, ruiz_equilibrate
 
                 scaled, scal = ruiz_equilibrate(
                     qp_coeffs, settings.ruiz_iterations
                 )
-                psol = pipg_solve(
-                    scaled,
-                    PipgSettings(num_iterations=settings.pipg_iterations),
-                )
+                if settings.qp_solver == "pipg_sharded":
+                    from ..parallel.horizon import pipg_solve_horizon_sharded
+
+                    assert settings.time_mesh is not None, (
+                        "qp_solver='pipg_sharded' needs SqpSettings.time_mesh"
+                    )
+                    psol = pipg_solve_horizon_sharded(
+                        scaled,
+                        settings.time_mesh,
+                        PipgSettings(num_iterations=settings.pipg_iterations),
+                        axis=settings.time_mesh_axis,
+                    )
+                else:
+                    psol = pipg_solve(
+                        scaled,
+                        PipgSettings(num_iterations=settings.pipg_iterations),
+                    )
                 dxs = scal.d_x * psol.dxs
                 dus_r = scal.d_u * psol.dus
                 nv = qp_coeffs.B.shape[-1]
@@ -424,9 +444,18 @@ def solve(
                 dx_rms < settings.delta_tol, du_rms < settings.delta_tol
             ),
         )
+        # A FAILED line search alone is not convergence: the Levenberg-style
+        # regularization above just grew — keep iterating with the damped
+        # direction (reference LevenbergMarquardtStrategy), and only give up
+        # once the damping is saturated (reg at reg_max: no further escape).
+        ls_exhausted = jnp.logical_and(~any_ok, c.reg >= settings.reg_max)
+        accepted_conv = jnp.logical_and(
+            jnp.logical_and(inner_conv, any_ok),
+            viol_n < settings.constraint_tol,
+        )
         done = jnp.logical_or(
             jnp.logical_and(primal_conv, c_feasible),
-            jnp.logical_and(inner_conv, viol_n < settings.constraint_tol),
+            jnp.logical_or(accepted_conv, ls_exhausted),
         )
         hist = IterationLog(
             merit=c.history.merit.at[c.it].set(merit_n),

@@ -22,7 +22,9 @@ import jax.numpy as jnp
 
 
 def _fence(x):
-    np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+    # Device-side slice; transferring the full leaf would cost ~100 ms/MB
+    # over the tunnel and swamp the kernel being measured (see bench._fence).
+    np.asarray(jax.tree.leaves(x)[0].ravel()[:1])
 
 
 def _timeit(fn, *args, reps=10, warmup=2):
@@ -67,6 +69,26 @@ SHAPES = {
 }
 
 
+_ITERS = int(os.environ.get("OCS2_AB_ITERS", "20"))
+# chain the kernel inside one program: resolves sub-25ms times
+# (the axon polling sync has ~25 ms granularity; a single kernel launch is
+# invisible under it).
+
+
+def _chained(backward):
+    """Apply the backward _ITERS times with a data dependence so XLA cannot
+    parallelize or elide the repeats; per-iteration time = total/_ITERS."""
+
+    def run(coeffs, reg):
+        def body(_, qf):
+            sol = backward(coeffs._replace(qf=qf), reg)
+            return qf + 1e-30 * sol.value_s[:, 0, :]
+
+        return jax.lax.fori_loop(0, _ITERS, body, coeffs.qf)
+
+    return jax.jit(run)
+
+
 def bench_backward(only=None):
     from ocs2_tpu.ops import riccati
     from ocs2_tpu.ops.riccati_pallas import lqr_backward_pallas
@@ -87,11 +109,11 @@ def bench_backward(only=None):
         # On-chip agreement (correctness gate).
         gd = float(jnp.max(jnp.abs(sp.gains - sx.gains)))
         vd = float(jnp.max(jnp.abs(sp.value_S - sx.value_S)))
-        tp = _timeit(f_pallas, coeffs, reg)
-        tx = _timeit(f_xla, coeffs, reg)
+        tp = _timeit(_chained(lqr_backward_pallas), coeffs, reg, reps=5) / _ITERS
+        tx = _timeit(_chained(riccati._lqr_backward_batched), coeffs, reg, reps=5) / _ITERS
         out[tag] = {
-            "pallas_ms": round(tp * 1e3, 2),
-            "xla_bm_ms": round(tx * 1e3, 2),
+            "pallas_ms": round(tp * 1e3, 3),
+            "xla_bm_ms": round(tx * 1e3, 3),
             "gain_maxdiff": gd,
             "valueS_maxdiff": vd,
         }

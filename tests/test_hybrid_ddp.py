@@ -169,3 +169,114 @@ class TestBouncingMass:
         )
         m0 = evaluate_trajectory(problem, sol.grid, xs0, us0, params)
         assert float(sol.ddp.performance.cost) < float(m0.cost)
+
+
+class TestPendulumWall:
+    """Multi-dimensional state-triggered fixture: a pendulum bouncing off a
+    wall (the reference's pendulum_dynamics_staterollout.h analogue,
+    ocs2_oc/test/include/ocs2_oc/test/pendulum_dynamics_staterollout.h +
+    HybridSlqTest.cpp) — nonlinear 2D dynamics, guard on the angle, jump on
+    the angular velocity."""
+
+    WALL = -0.2
+    E_REST = 0.85
+    L = 1.0
+
+    def _system(self):
+        def dynamics(t, x, u, p, mode):
+            return jnp.array([x[1], -G / self.L * jnp.sin(x[0]) + u[0]])
+
+        def guard(t, x, p, mode):
+            return x[0] - self.WALL  # positive while right of the wall
+
+        def jump(t, x, p, mode):
+            return jnp.array([self.WALL + 1e-4, -self.E_REST * x[1]]), mode + 1
+
+        return HybridSystem(dynamics=dynamics, guard=guard, jump=jump)
+
+    def _problem(self):
+        def dynamics(t, x, u, p):
+            return jnp.array([x[1], -G / self.L * jnp.sin(x[0]) + u[0]])
+
+        def jump_map(t, x, p):
+            return jnp.array([self.WALL + 1e-4, -self.E_REST * x[1]])
+
+        return OptimalControlProblem(
+            dynamics=dynamics,
+            jump_map=jump_map,
+            cost_terms=(
+                quadratic_cost(
+                    jnp.diag(jnp.array([6.0, 0.3])), 0.02 * jnp.eye(1)
+                ),
+            ),
+            nx=2,
+            nu=1,
+        )
+
+    def test_free_swing_hits_wall(self):
+        sys_ = self._system()
+        traj = jax.jit(
+            lambda x0: rollout_state_triggered(
+                sys_, 0.0, x0, lambda t, x, k: jnp.zeros(1), 0.01, 150, {}
+            )
+        )(jnp.array([0.8, 0.0]))
+        ev = np.asarray(traj.event_times)[np.asarray(traj.event_mask) > 0]
+        assert len(ev) >= 1  # swings down through the wall angle
+        # After the bounce the velocity reversed (position stays right of
+        # the wall for a while).
+        assert int(traj.modes[-1]) >= 1
+
+    def test_hybrid_ddp_pendulum_event_drift_converges(self):
+        """The outer loop's detected event times must become stationary
+        (drift decreasing / below tolerance) — the switching-time
+        stationarity the reference checks in HybridSlqTest."""
+        from ocs2_tpu.core.reference import TargetTrajectories
+
+        sys_ = self._system()
+        problem = self._problem()
+        x0 = jnp.array([0.8, 0.0])
+        params = {
+            "target": TargetTrajectories.constant(
+                jnp.array([0.4, 0.0]), jnp.zeros(1)
+            )
+        }
+        st = ddp.DdpSettings(max_iterations=25, min_rel_cost=1e-4)
+        sol = jax.jit(
+            lambda x: solve_state_triggered(
+                sys_, problem, 0.0, 1.5, x, params,
+                num_base_intervals=50, max_events=2, outer_rounds=4,
+                settings=st,
+            )
+        )(x0)
+        assert bool(jnp.all(jnp.isfinite(sol.ddp.xs)))
+        drift = np.asarray(sol.event_drift)
+        # Drift is reported per round (round 0 has no predecessor -> NaN)
+        # and the final round's drift is small: events stopped moving.
+        finite = drift[np.isfinite(drift)]
+        assert len(finite) >= 1
+        assert finite[-1] < 0.06, drift
+
+    def test_event_tol_early_stop_outside_jit(self):
+        """event_tol cuts outer rounds when events are stationary (host
+        path only; under jit all rounds are traced)."""
+        from ocs2_tpu.core.reference import TargetTrajectories
+
+        sys_ = self._system()
+        problem = self._problem()
+        params = {
+            "target": TargetTrajectories.constant(
+                jnp.array([0.4, 0.0]), jnp.zeros(1)
+            )
+        }
+        st = ddp.DdpSettings(max_iterations=15, min_rel_cost=1e-4)
+        sol = solve_state_triggered(
+            sys_, problem, 0.0, 1.5, jnp.array([0.8, 0.0]), params,
+            num_base_intervals=40, max_events=2, outer_rounds=6,
+            settings=st, event_tol=0.05,
+        )
+        assert int(sol.rounds_run) <= 6
+        # If it stopped early, the last recorded drift was below tolerance.
+        drift = np.asarray(sol.event_drift)
+        finite = drift[np.isfinite(drift)]
+        if int(sol.rounds_run) < 6:
+            assert finite[-1] < 0.05
