@@ -382,14 +382,14 @@ def main():
                 "vs_baseline": round(float(legged["solves_per_s"]) / 50.0, 3),
                 "p50_ms": round(legged["p50_ms"], 2),
                 "p99_ms": round(legged["p99_ms"], 2),
-                "mfu": round(float(legged["mfu"]), 4),
+                "mfu": round(float(legged["mfu"]), 6),
                 "batched_solves_per_s_b256": round(
                     float(legged["batched_solves_per_s_b256"]), 1
                 ),
                 "ballbot_ddp_batched_solves_per_s_b4096": round(float(ballbot_ps), 1),
-                "ballbot_mfu": round(float(ballbot_mfu), 4),
+                "ballbot_mfu": round(float(ballbot_mfu), 6),
                 "quadrotor_sqp_batched_solves_per_s_b4096": round(float(quad_ps), 1),
-                "quadrotor_mfu": round(float(quad_mfu), 4),
+                "quadrotor_mfu": round(float(quad_mfu), 6),
                 "perceptive_mpc_ticks_per_s": round(
                     float(perceptive["ticks_per_s"]), 1
                 ),

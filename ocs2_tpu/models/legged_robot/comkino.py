@@ -160,7 +160,12 @@ def _contact_generalized_force(z: Array, forces: Array) -> Array:
 
 
 def base_acceleration(
-    z: Array, zdot: Array, forces: Array, masses: MassModel = DEFAULT_MASSES
+    z: Array,
+    zdot: Array,
+    forces: Array,
+    masses: MassModel = DEFAULT_MASSES,
+    external_force_world=None,
+    external_torque_base=None,
 ) -> Array:
     """zdd_base (6): [p_base_dd (world), euler_dd] from the top-6 rows of the
     full rigid-body dynamics with ddq = 0 (QuadrupedCom.cpp:64-115)."""
@@ -177,6 +182,17 @@ def base_acceleration(
         + jax.grad(lambda zz: _potential_energy(zz, masses))(z)
     )
     rhs = _contact_generalized_force(z, forces) - bias
+    if external_force_world is not None:
+        # Generalized force of a world wrench at the base origin: the
+        # position rows take it directly (computeExternalForcesInBaseFrame).
+        rhs = rhs.at[0:3].add(jnp.asarray(external_force_world))
+    if external_torque_base is not None:
+        # Base torque -> euler-rate generalized coordinates: Q_euler =
+        # E(euler)^{-T} tau_body (virtual work through w_body = W deuler).
+        w_of_deuler = jax.jacfwd(lambda de: _omega_body(z[3:6], de))(
+            jnp.zeros(3, z.dtype)
+        )
+        rhs = rhs.at[3:6].add(w_of_deuler.T @ jnp.asarray(external_torque_base))
     # ddq = 0: the joint columns drop out of the top-6 equations.
     m66 = m_full[:6, :6]
     return jnp.linalg.solve(
@@ -196,12 +212,27 @@ def _state_to_z(x: Array):
 
 def dynamics(t, x, u, p, masses: MassModel = DEFAULT_MASSES):
     """ComKino flow map on the 24/24 centroidal layout
-    (ComKinoSystemDynamicsAd::systemFlowMap)."""
+    (ComKinoSystemDynamicsAd::systemFlowMap).
+
+    Optional disturbance parameters (the reference's
+    ComKinoDynamicsParameters / DynamicsParametersSynchronizedModule:
+    externalForceInOrigin + externalTorqueInBase):
+      p["external_force_world"]  [3] N   applied at the base origin,
+      p["external_torque_base"]  [3] Nm  in the base frame.
+    """
     del t
     z, w_body, deuler = _state_to_z(x)
     dq = joint_velocities(u)
     zdot = jnp.concatenate([x[0:3], deuler, dq])
-    zdd_base = base_acceleration(z, zdot, contact_forces(u), masses)
+    zdd_base = base_acceleration(
+        z, zdot, contact_forces(u), masses,
+        external_force_world=(
+            p.get("external_force_world") if isinstance(p, dict) else None
+        ),
+        external_torque_base=(
+            p.get("external_torque_base") if isinstance(p, dict) else None
+        ),
+    )
     # d/dt (I w_body / m): w_body = W(euler) deuler; chain rule via jvp.
     _, dw_body = jax.jvp(
         lambda e, de: _omega_body(e, de),

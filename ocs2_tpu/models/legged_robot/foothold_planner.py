@@ -35,6 +35,33 @@ from .model import (
 from .segmented_planes import SegmentedPlanesTerrain
 from .terrain import ElevationMap
 
+
+def _foot_positions_world_np(x: np.ndarray) -> np.ndarray:
+    """Pure-numpy mirror of model.foot_positions_world (host planner hot
+    path; eager JAX dispatch costs ~18 ms per call on the host)."""
+    from . import model as _m
+
+    yaw, pitch, roll = x[9], x[10], x[11]
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    rz = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+    ry = np.array([[cp, 0.0, sp], [0.0, 1.0, 0.0], [-sp, 0.0, cp]])
+    rx = np.array([[1.0, 0.0, 0.0], [0.0, cr, -sr], [0.0, sr, cr]])
+    r_wb = rz @ ry @ rx
+    q = np.asarray(x[12:24], np.float64).reshape(NUM_LEGS, 3)
+    out = np.zeros((NUM_LEGS, 3))
+    for leg in range(NUM_LEGS):
+        haa, hfe, kfe = q[leg]
+        side = _m.leg_side_sign(leg)
+        x_p = -_m.THIGH_LENGTH * np.sin(hfe) - _m.SHANK_LENGTH * np.sin(hfe + kfe)
+        z_p = -_m.THIGH_LENGTH * np.cos(hfe) - _m.SHANK_LENGTH * np.cos(hfe + kfe)
+        p_leg = np.array([x_p, side * _m.HIP_LATERAL, z_p])
+        c, s = np.cos(haa), np.sin(haa)
+        rxx = np.array([[1.0, 0, 0], [0, c, -s], [0, s, c]])
+        out[leg] = x[6:9] + r_wb @ (np.asarray(HIP_OFFSETS[leg]) + rxx @ p_leg)
+    return out
+
 Array = jax.Array
 _BIG = 1e6
 
@@ -195,7 +222,18 @@ def plan_footholds(
     tang_A = np.zeros((n1, NUM_LEGS, V, 3), np.float32)
     tang_b = np.full((n1, NUM_LEGS, V), _BIG, np.float32)
 
-    feet0 = np.asarray(foot_positions_world(jnp.asarray(x0)))
+    # Pure-numpy FK + target interpolation: eager-JAX dispatch on the host
+    # costs ~18 ms/tick for the FK alone (measured r5) — the whole planner
+    # must fit well under the 20 ms reference budget.
+    feet0 = _foot_positions_world_np(np.asarray(x0))
+    tgt_times = np.asarray(target.times, np.float64)
+    tgt_states = np.asarray(target.states, np.float64)
+
+    def target_state_np(t):
+        k = np.clip(np.searchsorted(tgt_times, t) - 1, 0, len(tgt_times) - 2)
+        t0_, t1_ = tgt_times[k], tgt_times[k + 1]
+        a = 0.0 if t1_ <= t0_ else np.clip((t - t0_) / (t1_ - t0_), 0.0, 1.0)
+        return (1 - a) * tgt_states[k] + a * tgt_states[k + 1]
     base_v0 = np.asarray(x0)[0:3]
     flags = np.stack([contact_flags_static(int(m)) for m in node_modes])
 
@@ -232,7 +270,7 @@ def plan_footholds(
                 heur = feet0[leg]
             else:
                 t_mid = 0.5 * (node_times[s] + node_times[min(e, n1 - 1)])
-                xb = np.asarray(target.state_at(jnp.float32(t_mid)))
+                xb = target_state_np(float(t_mid))
                 yaw = xb[9]
                 cz, sz = np.cos(yaw), np.sin(yaw)
                 rot = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1.0]])

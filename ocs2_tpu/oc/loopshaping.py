@@ -320,3 +320,70 @@ def wrap_problem(
         ),
         jump_map=jump_map,
     )
+
+
+def load_loopshaping_info(source: str) -> tuple:
+    """Load a reference loopshaping ``.info`` file into a
+    (LoopshapingDefinition, pattern) pair — the analogue of
+    ocs2_core/src/loopshaping/LoopshapingPropertyTree.cpp:143-160:
+
+    * an ``r_filter`` section -> the outputpattern (use with
+      wrap_problem_r_filter: filter driven by u, shaping cost on y),
+    * an ``s_inv_filter`` section -> the eliminatepattern with the INVERTED
+      filter (use with wrap_problem: u = C xi + D v).
+
+    Each filter is a concatenation of SISO first-order sections
+    (numFilters / FilterK { numRepeats, scaling, zeros { (0) z }, poles
+    { (0) p } }); only the 1-pole/1-zero sections the shipped configs use
+    are supported.  ``source`` is the .info text or a path.
+    """
+    import numpy as np
+
+    from ..utils.config import get_path, load_info, parse_info
+
+    tree = (
+        parse_info(source)
+        if "\n" in source or "{" in source
+        else load_info(source)
+    )
+
+    def read_mimo(section: str, invert: bool):
+        sec = tree.get(section)
+        if not sec:
+            return None
+        k = int(float(sec.get("numFilters", 0)))
+        gains, poles, zeros = [], [], []
+        for i in range(k):
+            f = sec[f"Filter{i}"]
+            reps = int(float(f.get("numRepeats", 1)))
+            g = float(f.get("scaling", 1.0))
+            z = float(f["zeros"]["(0)"]) if "zeros" in f else 0.0
+            p_ = float(f["poles"]["(0)"]) if "poles" in f else 0.0
+            gains += [g] * reps
+            poles += [p_] * reps
+            zeros += [z] * reps
+        g = np.asarray(gains)
+        p_ = -np.asarray(poles)  # info stores the pole location (negative)
+        z = -np.asarray(zeros)
+        if invert:
+            # invert H = g (s+z)/(s+p)  ->  (1/g)(s+p)/(s+z).
+            g, p_, z = 1.0 / g, z, p_
+        n = len(g)
+        # Realization of H(s) = g (s+z)/(s+p): A=-p, B=1, C=g(z-p), D=g.
+        return LoopshapingDefinition(
+            A=jnp.asarray(np.diag(-p_), jnp.float32),
+            B=jnp.eye(n, dtype=jnp.float32),
+            C=jnp.asarray(np.diag(g * (z - p_)), jnp.float32),
+            D=jnp.asarray(np.diag(g), jnp.float32),
+            R_v=jnp.eye(n, dtype=jnp.float32),  # default costMatrix identity
+        )
+
+    r = read_mimo("r_filter", invert=False)
+    s = read_mimo("s_inv_filter", invert=True)
+    if r is not None and s is not None:
+        raise ValueError("using both r and s filter not implemented")
+    if r is not None:
+        return r, "output"
+    if s is not None:
+        return s, "eliminate"
+    raise ValueError("no valid loopshaping filter found")

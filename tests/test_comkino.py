@@ -373,3 +373,25 @@ def test_comkino_perceptive_closed_loop():
     # Walking forward under the kinodynamic model, body upright.
     assert float(xs[-1, 6]) > 0.15, float(xs[-1, 6])
     assert float(jnp.max(jnp.abs(xs[:, 9:12]))) < 0.4  # attitude bounded
+
+
+def test_comkino_external_disturbance():
+    """ComKinoDynamicsParameters parity: an external world force at the base
+    accelerates the base by F/m; a base-frame yaw torque spins it
+    (DynamicsParametersSynchronizedModule channel)."""
+    x = model.default_state()
+    u = model.weight_compensating_input(jnp.ones(4))
+    d0 = comkino.dynamics(0.0, x, u, {})
+    dF = comkino.dynamics(
+        0.0, x, u, {"external_force_world": jnp.array([30.0, 0.0, 0.0])}
+    )
+    # ~F/m plus the (physical) base-angular coupling through the CoM offset
+    # of the 6x6 base mass block — a few percent at default configuration.
+    np.testing.assert_allclose(
+        float(dF[0] - d0[0]), 30.0 / model.MASS, rtol=5e-2
+    )
+    dT = comkino.dynamics(
+        0.0, x, u, {"external_torque_base": jnp.array([0.0, 0.0, 2.0])}
+    )
+    # Yaw component of the angular-momentum rate responds.
+    assert float(jnp.abs(dT[5] - d0[5])) > 1e-4

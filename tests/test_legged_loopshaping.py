@@ -197,3 +197,92 @@ def test_loopshaped_dummy_loop_trot():
     # attitude stays level.
     assert float(jnp.max(jnp.abs(xs[:, 8] - model.STAND_HEIGHT))) < 0.15
     assert float(jnp.max(jnp.abs(xs[:, 9:12]))) < 0.35
+
+
+def test_load_loopshaping_info():
+    """The reference's loopshaping.info grammar loads into a definition +
+    pattern (LoopshapingPropertyTree.cpp:143-160: s_inv_filter sections are
+    INVERTED and select the eliminate pattern)."""
+    from ocs2_tpu.oc.loopshaping import load_loopshaping_info
+
+    info = """
+s_inv_filter
+{
+    numFilters 2;
+
+    Filter0
+    {
+        numRepeats  12;
+        numPoles    1;
+        numZeros    1;
+        scaling     4;
+        zeros
+        {
+           (0)    0.0;
+        }
+        poles
+        {
+           (0) -100.0;
+        }
+    }
+
+    Filter1
+    {
+        numRepeats  12;
+        numPoles    1;
+        numZeros    1;
+        scaling     3;
+        zeros
+        {
+           (0) 0.0;
+        }
+        poles
+        {
+           (0) -50.0;
+        }
+    }
+}
+"""
+    defn, pattern = load_loopshaping_info(info)
+    assert pattern == "eliminate"
+    assert defn.A.shape == (24, 24)
+    # Inverted transfer: H(jw) = (jw + 100) / (4 jw) on force channels.
+    w = 5.0j
+    A, B, C, D = (
+        np.asarray(m, np.complex128) for m in (defn.A, defn.B, defn.C, defn.D)
+    )
+    H = D + C @ np.linalg.inv(w * np.eye(24) - A) @ B
+    np.testing.assert_allclose(H[0, 0], (w + 100.0) / (4.0 * w), rtol=1e-6)
+    np.testing.assert_allclose(H[12, 12], (w + 50.0) / (3.0 * w), rtol=1e-6)
+
+
+def test_load_r_filter_info():
+    from ocs2_tpu.oc.loopshaping import load_loopshaping_info
+
+    info = """
+r_filter
+{
+    numFilters 1;
+    Filter0
+    {
+        numRepeats 2;
+        scaling    2.0;
+        zeros
+        {
+            (0) 0.0;
+        }
+        poles
+        {
+            (0) -30.0;
+        }
+    }
+}
+"""
+    defn, pattern = load_loopshaping_info(info)
+    assert pattern == "output"
+    w = 3.0j
+    A, B, C, D = (
+        np.asarray(m, np.complex128) for m in (defn.A, defn.B, defn.C, defn.D)
+    )
+    H = D + C @ np.linalg.inv(w * np.eye(2) - A) @ B
+    np.testing.assert_allclose(H[0, 0], 2.0 * w / (w + 30.0), rtol=1e-6)
