@@ -103,6 +103,13 @@ class FootholdPlannerSettings(NamedTuple):
     sdf_clearance: float = 0.03  # obstacle clearance at mid-swing
     inverted_pendulum_height: float = STAND_HEIGHT
     terrain_margin: float = 0.0
+    # Approximate-kinematics foothold scoring (reference
+    # KinematicFootPlacementPenalty.h ApproximateKinematicsConfig): segment
+    # candidates are scored distance^2 + this penalty, so a nearby segment
+    # that over-extends the leg or forces an inward step loses to a
+    # reachable one.
+    max_leg_extension: float = 0.55  # ~ thigh + shank at comfortable bend
+    kinematic_penalty_weight: float = 5.0
 
 
 # -- host-side numpy mirrors of the polygon queries --------------------------
@@ -123,8 +130,41 @@ def _project_polygon_np(boundary: np.ndarray, nv: int, p: np.ndarray):
     return (-d2[best] if inside else d2[best]), q[best]
 
 
-def _closest_segment_np(terr: SegmentedPlanesTerrain, p_world: np.ndarray):
-    """(seg id, projected 3D point) — host mirror of closest_segment."""
+def compute_kinematic_penalty_np(
+    foot_world: np.ndarray,
+    hip_world: np.ndarray,
+    rot_hip_to_world: np.ndarray,
+    leg: int,
+    max_leg_extension: float,
+    weight: float,
+) -> float:
+    """Approximate-kinematics foothold penalty (reference
+    KinematicFootPlacementPenalty.cpp:12-27): weight * (inward-step^2 +
+    over-extension^2).  The inward direction is gravity x hip-x in the hip
+    frame, signed so stepping UNDER the body is penalized (hip x-axis points
+    outward on left legs, inward sign flipped for right legs)."""
+    from . import model as _m
+
+    p_hip = rot_hip_to_world.T @ (foot_world - hip_world)
+    g_hip = rot_hip_to_world.T @ np.array([0.0, 0.0, -1.0])
+    # Rotation about +x of the hip frame rotates the LEFT leg outwards; for
+    # right legs mirror the axis so "inward" keeps its meaning.
+    x_axis = np.array([_m.leg_side_sign(leg), 0.0, 0.0])
+    inward = np.cross(g_hip, x_axis)
+    nrm = np.linalg.norm(inward)
+    instep = max(0.0, float(inward @ p_hip) / nrm) if nrm > 1e-9 else 0.0
+    extension = max(0.0, float(np.linalg.norm(p_hip)) - max_leg_extension)
+    return weight * (instep * instep + extension * extension)
+
+
+def _closest_segment_np(
+    terr: SegmentedPlanesTerrain,
+    p_world: np.ndarray,
+    kin=None,  # optional (hip_world, rot_hip_to_world, leg, settings)
+):
+    """(seg id, projected 3D point) — host mirror of closest_segment.
+    With ``kin``, candidates are scored distance^2 + kinematic penalty
+    (reference selectNominalFootholdTerrain + KinematicFootPlacementPenalty)."""
     pp = np.asarray(terr.plane_point)
     nn = np.asarray(terr.plane_normal)
     t1 = np.asarray(terr.tangent1)
@@ -132,7 +172,7 @@ def _closest_segment_np(terr: SegmentedPlanesTerrain, p_world: np.ndarray):
     bd = np.asarray(terr.boundary)
     nv = np.asarray(terr.num_vertices)
     valid = np.asarray(terr.valid)
-    best, best_d2, best_proj = 0, np.inf, p_world
+    best, best_score, best_proj = 0, np.inf, p_world
     for k in range(pp.shape[0]):
         if not valid[k]:
             continue
@@ -141,9 +181,15 @@ def _closest_segment_np(terr: SegmentedPlanesTerrain, p_world: np.ndarray):
         sq, img = _project_polygon_np(bd[k], int(nv[k]), uv)
         uv_in = uv if sq <= 0 else img
         proj = pp[k] + uv_in[0] * t1[k] + uv_in[1] * t2[k]
-        d2 = ((p_world - proj) ** 2).sum()
-        if d2 < best_d2:
-            best, best_d2, best_proj = k, d2, proj
+        score = ((p_world - proj) ** 2).sum()
+        if kin is not None:
+            hip_world, rot, leg, st = kin
+            score += compute_kinematic_penalty_np(
+                proj, hip_world, rot, leg,
+                st.max_leg_extension, st.kinematic_penalty_weight,
+            )
+        if score < best_score:
+            best, best_score, best_proj = k, score, proj
     return best, best_proj
 
 
@@ -264,6 +310,7 @@ def plan_footholds(
                 phase_foothold.append(None)
                 phase_seg.append(None)
                 continue
+            kin = None
             if s == 0:
                 # Ongoing stance: keep the current foot position
                 # (reference updateLastContact).
@@ -289,7 +336,15 @@ def plan_footholds(
                 hi = int(np.clip(round(ij[0]), 0, heights_np.shape[0] - 1))
                 hj = int(np.clip(round(ij[1]), 0, heights_np.shape[1] - 1))
                 heur[2] = float(heights_np[hi, hj])
-            k, proj = _closest_segment_np(terr, np.asarray(heur, np.float64))
+                # Score candidate segments with the approximate-kinematics
+                # penalty from the hip at the phase midpoint.
+                hip_world = xb[6:9] + rot @ np.asarray(
+                    HIP_OFFSETS[leg], np.float64
+                )
+                kin = (hip_world, rot, leg, settings)
+            k, proj = _closest_segment_np(
+                terr, np.asarray(heur, np.float64), kin=kin
+            )
             phase_foothold.append(proj.astype(np.float32))
             phase_seg.append(k)
 

@@ -389,3 +389,79 @@ class TestClosedLoopPerceptive:
         # Exclude the ambiguous one-cell band at the step edge.
         band = np.abs(feet[:, :, 0] - STEP_X) < 0.1
         assert float(np.where(band, 0.0, depth).max()) < 0.04
+
+
+class TestKinematicFootPlacementPenalty:
+    """Approximate-kinematics foothold scoring (reference
+    KinematicFootPlacementPenalty.h/.cpp): over-extension and inward steps
+    are penalized in segment selection."""
+
+    def test_penalty_values(self):
+        from ocs2_tpu.models.legged_robot.foothold_planner import (
+            compute_kinematic_penalty_np,
+        )
+
+        hip = np.array([0.3, 0.2, model.STAND_HEIGHT])
+        rot = np.eye(3)
+        # Foot directly below the hip within reach: zero penalty.
+        foot = hip - np.array([0.0, 0.0, 0.45])
+        assert compute_kinematic_penalty_np(foot, hip, rot, 0, 0.55, 5.0) == 0.0
+        # Over-extended: positive, grows with extension.
+        far = hip - np.array([0.0, 0.0, 0.8])
+        p1 = compute_kinematic_penalty_np(far, hip, rot, 0, 0.55, 5.0)
+        farther = hip - np.array([0.0, 0.0, 0.9])
+        p2 = compute_kinematic_penalty_np(farther, hip, rot, 0, 0.55, 5.0)
+        assert 0.0 < p1 < p2
+        # Inward step (LEFT leg stepping to the RIGHT, under the body).
+        inward = hip + np.array([0.0, -0.25, -0.45])
+        outward = hip + np.array([0.0, 0.25, -0.45])
+        pi_ = compute_kinematic_penalty_np(inward, hip, rot, 0, 0.55, 5.0)
+        po = compute_kinematic_penalty_np(outward, hip, rot, 0, 0.55, 5.0)
+        assert pi_ > po == 0.0
+        # Mirrored for a RIGHT leg (leg 1): stepping LEFT is inward.
+        pi_r = compute_kinematic_penalty_np(outward, hip, rot, 1, 0.55, 5.0)
+        po_r = compute_kinematic_penalty_np(inward, hip, rot, 1, 0.55, 5.0)
+        assert pi_r > po_r == 0.0
+
+    def test_selection_prefers_reachable_segment(self):
+        """A raised platform slightly closer to the heuristic loses to the
+        ground segment when reaching it would over-extend the leg."""
+        from ocs2_tpu.models.legged_robot.foothold_planner import (
+            FootholdPlannerSettings,
+            _closest_segment_np,
+        )
+
+        # Terrain: flat ground + a high platform in x > 0.3.
+        res, extent = 0.05, 2.0
+        m = int(extent / res)
+        h = np.zeros((m, m), np.float32)
+        xs = -extent / 2 + (np.arange(m) + 0.5) * res
+        h[xs > 0.3, :] = 0.55  # platform nearly at hip height
+        em2 = ElevationMap.create(
+            h, origin_xy=(-extent / 2, -extent / 2), resolution=res
+        )
+        terr2 = decompose_planes(em2)
+        st = FootholdPlannerSettings()
+        # Heuristic right at the platform edge, at platform height (so the
+        # platform is marginally closer in pure distance).
+        heur = np.array([0.32, 0.0, 0.5])
+        hip = np.array([0.25, 0.0, model.STAND_HEIGHT])
+        k_plain, proj_plain = _closest_segment_np(terr2, heur)
+        k_kin, proj_kin = _closest_segment_np(
+            terr2, heur, kin=(hip, np.eye(3), 0, st)
+        )
+        # Pure distance picks the platform (z ~0.55); kinematic scoring must
+        # not pick a WORSE-reaching segment than plain distance does.
+        from ocs2_tpu.models.legged_robot.foothold_planner import (
+            compute_kinematic_penalty_np,
+        )
+
+        pen_kin = compute_kinematic_penalty_np(
+            proj_kin, hip, np.eye(3), 0, st.max_leg_extension,
+            st.kinematic_penalty_weight,
+        )
+        pen_plain = compute_kinematic_penalty_np(
+            proj_plain, hip, np.eye(3), 0, st.max_leg_extension,
+            st.kinematic_penalty_weight,
+        )
+        assert pen_kin <= pen_plain
