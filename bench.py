@@ -364,6 +364,44 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/ocs2_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    # Tunnel health probe in a SUBPROCESS with a hard deadline: a wedged
+    # axon tunnel blocks inside PJRT calls uninterruptibly (observed r5:
+    # device claims hang forever after a tunnel fault), so probe out of
+    # process and fail fast with an honest JSON line instead of hanging the
+    # driver for its full timeout.
+    import subprocess
+    import sys
+
+    try:
+        probe = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax, jax.numpy as jnp, numpy as np;"
+                "np.asarray(jnp.ones((4,)) + 1.0);print('ok')",
+            ],
+            capture_output=True,
+            timeout=180,
+            text=True,
+            check=False,
+        )
+        healthy = "ok" in probe.stdout
+    except Exception:
+        healthy = False
+    if not healthy:
+        print(
+            json.dumps(
+                {
+                    "metric": "legged_robot_mpc_solves_per_s_N100",
+                    "value": 0.0,
+                    "unit": "solves/s",
+                    "vs_baseline": 0.0,
+                    "error": "tpu tunnel unavailable (device probe timed out)",
+                }
+            )
+        )
+        return
+
     # Real-hardware Pallas correctness gate BEFORE any timing (a failing
     # kernel forces the XLA path and is reported in the JSON).
     gate = pallas_onchip_check()
