@@ -303,11 +303,14 @@ def solve(
         merit_carry = jnp.where(any_ok, al_merit(metrics_n, al_n), c.merit)
 
         stalled = jnp.logical_and(~any_ok, c.reg >= settings.reg_max * 0.99)
-        # Converged = inner stationary at the (tighter) min_rel_cost AND
-        # constraints satisfied (reference minRelCost + constraintTolerance).
-        inner_conv = jnp.logical_or(
-            jnp.logical_and(any_ok, rel < settings.min_rel_cost), ~any_ok
-        )
+        # Converged = an ACCEPTED inner-stationary step AND constraints
+        # satisfied (reference minRelCost + constraintTolerance).  A failed
+        # line search alone is NOT convergence — the Levenberg regularization
+        # just grew; keep iterating with the damped direction until it is
+        # saturated (`stalled`), matching solvers/sqp.py's semantics (a
+        # first-iteration full-Newton overshoot otherwise terminates the
+        # solve at the initial point).
+        inner_conv = jnp.logical_and(any_ok, rel < settings.min_rel_cost)
         done = jnp.logical_or(jnp.logical_and(inner_conv, feasible), stalled)
         hist = DdpIterationLog(
             merit=c.history.merit.at[c.it].set(merit_n),
